@@ -1,0 +1,325 @@
+package graft
+
+import graft.core._
+import graft.dataset.GraftDataset
+import graft.pipeline.{ops, Pipeline}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-operator queries for the driver's DuckDB correctness gate.
+  *
+  * Conventions keeping the hash-compare stable:
+  *  - every output ordered by an explicit key, columns aliased identically in both
+  *  - float-valued computed columns rounded on BOTH sides via the same floor-based
+  *    formula (both engines' native `round` disagree on currency-style midpoints)
+  *  - timestamps cast to epoch seconds when they appear in outputs
+  */
+object Queries {
+
+  private val eventOrder = Seq("ts", "event_id")
+
+  private def eventsDs(spark: SparkSession, dir: String): GraftDataset = {
+    val df = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val schema = FeatureSchema(
+      ColumnSpec.numeric("event_id", ColRole.Identifier),
+      ColumnSpec.datetime("ts", ColRole.TimeInfo),
+      ColumnSpec.nominal("user_id", ColRole.Identifier),
+      ColumnSpec.nominal("event_type"),
+      ColumnSpec.numeric("value"))
+    GraftDataset(df, schema, eventOrder)
+  }
+
+  /** Floor-based 6-dp rounding that Spark and DuckDB compute bit-identically. NaN/Inf
+    * pass through. The DuckDB twin is [[r6sql]].
+    */
+  private def r6(cRaw: org.apache.spark.sql.Column) = {
+    val c = cRaw.cast("double")
+    when(isnan(c) || c === Double.PositiveInfinity || c === Double.NegativeInfinity, c)
+      .otherwise(floor(c * 1e6 + 0.5).cast("double") / 1e6)
+  }
+
+  /** `r6sql("x")` — DuckDB expression identical to [[r6]] for column/simple exprs. */
+  private def r6sql(e: String): String =
+    s"CASE WHEN isnan(($e)::DOUBLE) OR NOT isfinite(($e)::DOUBLE) THEN ($e)::DOUBLE " +
+      s"ELSE floor(($e)::DOUBLE * 1000000 + 0.5) / 1000000 END"
+
+  /** Window-function features on events via the Pipeline, projected + rounded. */
+  private def eventFeatures(names: Seq[String], build: Pipeline => Pipeline,
+      roundCols: Set[String] = Set.empty): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      val out = build(Pipeline(eventsDs(spark, dir))).toDF()
+      val cols = col("event_id") +: names.map(n => if (roundCols(n)) r6(col(n)).as(n) else col(n))
+      out.select(cols: _*).orderBy("event_id")
+    }
+
+  /** Oracle wrapper: inner SELECT computes raw feature columns; outer applies the
+    * shared rounding to `roundCols` and orders by event_id.
+    */
+  private def eventOracle(inner: String, names: Seq[String], roundCols: Set[String] = Set.empty): String = {
+    val proj = names.map(n => if (roundCols(n)) s"${r6sql(n)} AS $n" else n).mkString(", ")
+    s"SELECT event_id, $proj FROM ($inner) ORDER BY event_id"
+  }
+
+  // ---------------------------------------------------------------- aggregate / scan
+
+  private val q1Agg: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        r6(sum(col("l_quantity"))).as("sum_qty"),
+        r6(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val q1AggSql = {
+    val inner = "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+      "sum(l_extendedprice * (1 - l_discount)) AS revenue, count(*) AS cnt " +
+      "FROM lineitem GROUP BY 1, 2"
+    s"SELECT l_returnflag, l_linestatus, ${r6sql("sum_qty")} AS sum_qty, " +
+      s"${r6sql("revenue")} AS revenue, cnt FROM ($inner) ORDER BY 1, 2"
+  }
+
+  // ------------------------------------------------------------------- window family
+
+  private val qCountOver = eventFeatures(Seq("count_over_user_id"),
+    _.withCount(overColumnsCombinations = Seq(Seq("user_id"))))
+  private val qCountOverSql =
+    "SELECT event_id, count(*) OVER (PARTITION BY user_id) AS count_over_user_id " +
+      "FROM events ORDER BY event_id"
+
+  private val qCumCount = eventFeatures(
+    Seq("inclusive_cum_count_over_user_id", "exclusive_cum_count_over_user_id"),
+    p => p.withCount(overColumnsCombinations = Seq(Seq("user_id")), cumulative = Cum.Inclusive)
+      .withCount(overColumnsCombinations = Seq(Seq("user_id")), cumulative = Cum.Exclusive))
+  private val qCumCountSql =
+    "SELECT event_id, row_number() OVER w AS inclusive_cum_count_over_user_id, " +
+      "row_number() OVER w - 1 AS exclusive_cum_count_over_user_id " +
+      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ORDER BY event_id"
+
+  private val qCumSum = eventFeatures(Seq("value_inclusive_cum_sum_over_user_id"),
+    _.withArithmeticAggregation("value", Seq(ops.Agg.Sum),
+      overColumnsCombinations = Seq(Seq("user_id")), cumulative = Cum.Inclusive),
+    roundCols = Set("value_inclusive_cum_sum_over_user_id"))
+  private val qCumSumSql = eventOracle(
+    "SELECT event_id, coalesce(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS value_inclusive_cum_sum_over_user_id FROM events",
+    Seq("value_inclusive_cum_sum_over_user_id"), Set("value_inclusive_cum_sum_over_user_id"))
+
+  private val qLag = eventFeatures(Seq("value_lagged_1_over_user_id"),
+    _.withLagged("value", Seq(1), overColumnsCombinations = Seq(Seq("user_id"))))
+  private val qLagSql =
+    "SELECT event_id, lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+      "AS value_lagged_1_over_user_id FROM events ORDER BY event_id"
+
+  private val qFirstValue = eventFeatures(Seq("value_first_value_where_is_view_over_user_id"),
+    _.withFirstValue("value", overColumnsCombinations = Seq(Seq("user_id")),
+      filteringCondition = Some(Cond("is_view", col("event_type") === "view"))))
+  private val qFirstValueSql =
+    "SELECT event_id, first_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS) " +
+      "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+      "AS value_first_value_where_is_view_over_user_id FROM events ORDER BY event_id"
+
+  /** Mode with the reference's largest-value tie-break. */
+  private val qMode = eventFeatures(Seq("event_type_mode_over_user_id"),
+    _.withMode("event_type", overColumnsCombinations = Seq(Seq("user_id"))))
+  private val qModeSql =
+    "WITH cnt AS (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2), " +
+      "w AS (SELECT user_id, event_type FROM cnt " +
+      "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY c DESC, event_type DESC) = 1) " +
+      "SELECT e.event_id, w.event_type AS event_type_mode_over_user_id " +
+      "FROM events e JOIN w USING (user_id) ORDER BY e.event_id"
+
+  private val qNumUnique = eventFeatures(
+    Seq("event_type_num_unique_over_user_id", "event_type_inclusive_cum_num_unique_over_user_id"),
+    p => p.withNumUnique("event_type", overColumnsCombinations = Seq(Seq("user_id")))
+      .withNumUnique("event_type", overColumnsCombinations = Seq(Seq("user_id")),
+        cumulative = Cum.Inclusive))
+  private val qNumUniqueSql =
+    "WITH b AS (SELECT event_id, user_id, ts, event_type, " +
+      "CASE WHEN row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1 " +
+      "THEN 1 ELSE 0 END AS ifd FROM events) " +
+      "SELECT event_id, count(DISTINCT event_type) OVER (PARTITION BY user_id) " +
+      "AS event_type_num_unique_over_user_id, " +
+      "sum(ifd) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+      "AS event_type_inclusive_cum_num_unique_over_user_id FROM b ORDER BY event_id"
+
+  private val qEntropy = eventFeatures(Seq("event_type_by_user_id_entropy"),
+    _.withEntityEntropy("user_id", "event_type"),
+    roundCols = Set("event_type_by_user_id_entropy"))
+  private val qEntropySql = eventOracle(
+    "WITH c AS (SELECT user_id, event_type, count(*)::DOUBLE AS c FROM events GROUP BY 1, 2), " +
+      "h AS (SELECT user_id, -sum((c / n) * log2(c / n)) AS h FROM " +
+      "(SELECT user_id, c, sum(c) OVER (PARTITION BY user_id) AS n FROM c) GROUP BY 1) " +
+      "SELECT e.event_id, h.h AS event_type_by_user_id_entropy FROM events e JOIN h USING (user_id)",
+    Seq("event_type_by_user_id_entropy"), Set("event_type_by_user_id_entropy"))
+
+  private val qPmi = eventFeatures(Seq("user_id_event_type_pmi"),
+    _.withPointwiseMutualInformation("user_id", "event_type"),
+    roundCols = Set("user_id_event_type_pmi"))
+  private val qPmiSql = eventOracle(
+    "SELECT event_id, log2(((count(*) OVER (PARTITION BY user_id, event_type))::DOUBLE / (count(*) OVER ())::DOUBLE) / " +
+      "(((count(*) OVER (PARTITION BY user_id))::DOUBLE / (count(*) OVER ())::DOUBLE) * " +
+      "((count(*) OVER (PARTITION BY event_type))::DOUBLE / (count(*) OVER ())::DOUBLE))) " +
+      "AS user_id_event_type_pmi FROM events",
+    Seq("user_id_event_type_pmi"), Set("user_id_event_type_pmi"))
+
+  private val qRolling = eventFeatures(
+    Seq("count_in_the_last_2d_over_user_id", "value_sum_in_the_last_1h_over_user_id"),
+    p => p.withCount(overColumnsCombinations = Seq(Seq("user_id")),
+        timeWindows = Seq("2d"), indexColumnName = Some("ts"))
+      .withArithmeticAggregation("value", Seq(ops.Agg.Sum),
+        overColumnsCombinations = Seq(Seq("user_id")),
+        timeWindows = Seq("1h"), indexColumnName = Some("ts")),
+    roundCols = Set("value_sum_in_the_last_1h_over_user_id"))
+  private val qRollingSql = eventOracle(
+    "SELECT event_id, count(*) OVER (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT " +
+      "RANGE BETWEEN 172799 PRECEDING AND CURRENT ROW) AS count_in_the_last_2d_over_user_id, " +
+      "coalesce(sum(value) OVER (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT " +
+      "RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 0) AS value_sum_in_the_last_1h_over_user_id FROM events",
+    Seq("count_in_the_last_2d_over_user_id", "value_sum_in_the_last_1h_over_user_id"),
+    Set("value_sum_in_the_last_1h_over_user_id"))
+
+  private val qMinMaxGroup = eventFeatures(
+    Seq("value_min_over_user_id", "value_max_over_user_id", "value_mean_over_user_id",
+      "value_std_over_user_id"),
+    _.withArithmeticAggregation("value",
+      Seq(ops.Agg.Min, ops.Agg.Max, ops.Agg.Mean, ops.Agg.Std),
+      overColumnsCombinations = Seq(Seq("user_id"))),
+    roundCols = Set("value_mean_over_user_id", "value_std_over_user_id"))
+  private val qMinMaxGroupSql = eventOracle(
+    "SELECT event_id, min(value) OVER w AS value_min_over_user_id, " +
+      "max(value) OVER w AS value_max_over_user_id, " +
+      "coalesce(sum(value) OVER w, 0) / count(*) OVER w AS value_mean_over_user_id, " +
+      "stddev_samp(value) OVER w AS value_std_over_user_id " +
+      "FROM events WINDOW w AS (PARTITION BY user_id)",
+    Seq("value_min_over_user_id", "value_max_over_user_id", "value_mean_over_user_id",
+      "value_std_over_user_id"),
+    Set("value_mean_over_user_id", "value_std_over_user_id"))
+
+  /** The reference's running-std quirk in SQL: sqrt(Σ_{j≤i}(x_j − runningMean_j)²). */
+  private val qCumStd = eventFeatures(Seq("value_inclusive_cum_std_over_user_id"),
+    _.withArithmeticAggregation("value", Seq(ops.Agg.Std),
+      overColumnsCombinations = Seq(Seq("user_id")), cumulative = Cum.Inclusive),
+    roundCols = Set("value_inclusive_cum_std_over_user_id"))
+  private val qCumStdSql = eventOracle(
+    "WITH m AS (SELECT event_id, user_id, ts, value, " +
+      "coalesce(sum(value) OVER w, 0) / row_number() OVER wo AS rm FROM events " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+      "wo AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+      "SELECT event_id, sqrt(coalesce(sum((value - rm) * (value - rm)) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)) " +
+      "AS value_inclusive_cum_std_over_user_id FROM m",
+    Seq("value_inclusive_cum_std_over_user_id"), Set("value_inclusive_cum_std_over_user_id"))
+
+  private val qQuantile = eventFeatures(
+    Seq("value_quantile_25_over_user_id", "value_median_over_user_id"),
+    _.withArithmeticAggregation("value", Seq(ops.Agg.Quantile, ops.Agg.Median),
+      overColumnsCombinations = Seq(Seq("user_id")), quantiles = Seq(0.25)),
+    roundCols = Set("value_quantile_25_over_user_id", "value_median_over_user_id"))
+  private val qQuantileSql = eventOracle(
+    "SELECT event_id, quantile_cont(value, 0.25) OVER (PARTITION BY user_id) AS value_quantile_25_over_user_id, " +
+      "quantile_cont(value, 0.5) OVER (PARTITION BY user_id) AS value_median_over_user_id FROM events",
+    Seq("value_quantile_25_over_user_id", "value_median_over_user_id"),
+    Set("value_quantile_25_over_user_id", "value_median_over_user_id"))
+
+  private val qSeasonal = eventFeatures(
+    Seq("ts_hour_of_day", "ts_day_of_week", "ts_month_of_year", "ts_day_of_week_angular_sin"),
+    p => p.withSeasonal("ts", Seq(ops.Seasonal.HourOfDay, ops.Seasonal.DayOfWeek, ops.Seasonal.MonthOfYear))
+      .withSeasonal("ts", Seq(ops.Seasonal.DayOfWeek), periodic = true),
+    roundCols = Set("ts_day_of_week_angular_sin"))
+  private val qSeasonalSql = eventOracle(
+    "SELECT event_id, hour(ts) AS ts_hour_of_day, isodow(ts) AS ts_day_of_week, " +
+      "month(ts) AS ts_month_of_year, " +
+      "sin((isodow(ts) - 1) * 2 * pi() / 7) AS ts_day_of_week_angular_sin FROM events",
+    Seq("ts_hour_of_day", "ts_day_of_week", "ts_month_of_year", "ts_day_of_week_angular_sin"),
+    Set("ts_day_of_week_angular_sin"))
+
+  private val qScalarMath: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val schema = FeatureSchema(
+      ColumnSpec.numeric("l_orderkey", ColRole.Identifier),
+      ColumnSpec.numeric("l_linenumber", ColRole.Identifier),
+      ColumnSpec.numeric("l_quantity"),
+      ColumnSpec.numeric("l_extendedprice"),
+      ColumnSpec.numeric("l_discount"))
+    val ds = GraftDataset(li.select("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount"), schema, Seq("l_orderkey", "l_linenumber"))
+    val out = Pipeline(ds)
+      .withPolynomial("l_quantity", Seq(2))
+      .withLog("l_extendedprice", Seq(math.E, 10))
+      .withGoniometric("l_quantity", Seq(ops.Gon.Sin, ops.Gon.Cos))
+      .withArithmetic("l_extendedprice", "l_quantity", Seq(ops.Arithmetic.Divide))
+      .withComparison("l_quantity", "l_discount", Seq(ops.Comparison.GreaterThan))
+      .toDF()
+    val rc = Seq("l_quantity_pow_2", "l_extendedprice_ln", "l_extendedprice_log10",
+      "l_quantity_sin", "l_quantity_cos", "l_extendedprice_divide_l_quantity")
+    out.select(col("l_orderkey") +: col("l_linenumber") +:
+      (rc.map(n => r6(col(n)).as(n)) :+ col("l_quantity_greater_than_l_discount")): _*)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+  private val qScalarMathSql = {
+    val inner = "SELECT l_orderkey, l_linenumber, pow(l_quantity, 2) AS l_quantity_pow_2, " +
+      "ln(l_extendedprice) AS l_extendedprice_ln, log10(l_extendedprice) AS l_extendedprice_log10, " +
+      "sin(l_quantity) AS l_quantity_sin, cos(l_quantity) AS l_quantity_cos, " +
+      "l_extendedprice / l_quantity AS l_extendedprice_divide_l_quantity, " +
+      "l_quantity > l_discount AS l_quantity_greater_than_l_discount FROM lineitem"
+    val rc = Seq("l_quantity_pow_2", "l_extendedprice_ln", "l_extendedprice_log10",
+      "l_quantity_sin", "l_quantity_cos", "l_extendedprice_divide_l_quantity")
+    s"SELECT l_orderkey, l_linenumber, ${rc.map(n => s"${r6sql(n)} AS $n").mkString(", ")}, " +
+      s"l_quantity_greater_than_l_discount FROM ($inner) ORDER BY l_orderkey, l_linenumber"
+  }
+
+  private val qScaling = eventFeatures(
+    Seq("value_standard_scaled", "value_minmax_scaled"),
+    _.withScaling("value", Seq(ops.Scaling.Standard, ops.Scaling.MinMax)),
+    roundCols = Set("value_standard_scaled", "value_minmax_scaled"))
+  private val qScalingSql = eventOracle(
+    "SELECT event_id, (value - avg(value) OVER ()) / stddev_samp(value) OVER () AS value_standard_scaled, " +
+      "(value - min(value) OVER ()) / (max(value) OVER () - min(value) OVER ()) AS value_minmax_scaled FROM events",
+    Seq("value_standard_scaled", "value_minmax_scaled"),
+    Set("value_standard_scaled", "value_minmax_scaled"))
+
+  // ----------------------------------------------------------------------- registry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg,
+    "q_count_over" -> qCountOver,
+    "q_cum_count" -> qCumCount,
+    "q_cum_sum" -> qCumSum,
+    "q_lag" -> qLag,
+    "q_first_value" -> qFirstValue,
+    "q_mode" -> qMode,
+    "q_num_unique" -> qNumUnique,
+    "q_entropy" -> qEntropy,
+    "q_pmi" -> qPmi,
+    "q_rolling" -> qRolling,
+    "q_minmax_group" -> qMinMaxGroup,
+    "q_cum_std" -> qCumStd,
+    "q_quantile" -> qQuantile,
+    "q_seasonal" -> qSeasonal,
+    "q_scalar_math" -> qScalarMath,
+    "q_scaling" -> qScaling)
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q_count_over" -> qCountOverSql,
+    "q_cum_count" -> qCumCountSql,
+    "q_cum_sum" -> qCumSumSql,
+    "q_lag" -> qLagSql,
+    "q_first_value" -> qFirstValueSql,
+    "q_mode" -> qModeSql,
+    "q_num_unique" -> qNumUniqueSql,
+    "q_entropy" -> qEntropySql,
+    "q_pmi" -> qPmiSql,
+    "q_rolling" -> qRollingSql,
+    "q_minmax_group" -> qMinMaxGroupSql,
+    "q_cum_std" -> qCumStdSql,
+    "q_quantile" -> qQuantileSql,
+    "q_seasonal" -> qSeasonalSql,
+    "q_scalar_math" -> qScalarMathSql,
+    "q_scaling" -> qScalingSql)
+}
