@@ -110,8 +110,13 @@ final case class ModeTransformer(column: ColumnSpec, cumulative: Cum = Cum.None,
   def plan(ctx: AggContext, tmp: TempNamer): FeaturePlan = {
     val v = col(column.name)
     cumulative match {
+      case Cum.None if ctx.rolling.isDefined =>
+        // Polars evaluates the full mode over each window's rows; collect the window
+        // and take the array mode (largest-value tie-break) — O(window) per row,
+        // exactly the reference's cost model for rolling aggregates.
+        simple(graft.functions.arrayfns.arrayMode(
+          collect_list(when(condCol(cond), v)).over(ctx.frame(Cum.None))))
       case Cum.None =>
-        if (ctx.rolling.isDefined) unsupported("rolling mode")
         // per-value filtered count, then (count, value)-struct max → largest value wins ties
         val cnt = tmp.fresh("modecnt")
         val cntCol = coalesce(sum(condCol(cond).cast("long")).over(ctx.fullW(Seq(v))), lit(0L))

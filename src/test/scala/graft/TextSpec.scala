@@ -1,0 +1,90 @@
+package graft
+
+import graft.core._
+import graft.pipeline.FeatureExec
+import graft.transformers._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Goldens from test_text_transformers.py (defaults: bigram jaccard, jw weight 0.1). */
+class TextSpec extends SparkTestBase {
+  private def ctx = AggContext(Nil, Seq(Idx), None)
+  private def run(ts: FeatureTransformer*): DataFrame =
+    FeatureExec.applyTransformers(basicFrame, ctx, ts)
+
+  private val t1 = ColumnSpec.text("TEXT_FEATURE")
+  private val t2 = ColumnSpec.text("TEXT_FEATURE_2")
+
+  test("text similarity golden (defaults)") {
+    val df = run(
+      DamerauLevenshteinSimilarityTransformer(t1, t2),
+      JaccardSimilarityTransformer(t1, t2),
+      JaroSimilarityTransformer(t1, t2),
+      JaroWinklerSimilarityTransformer(t1, t2))
+    assertColumns(df, Map(
+      "TEXT_FEATURE_damerau_levenshtein_text_similarity_TEXT_FEATURE_2" -> Seq(1.0, 0.142857, 0.714286, 0.5, 0.428571, 0.875),
+      "TEXT_FEATURE_jaccard_text_similarity_TEXT_FEATURE_2" -> Seq(1.0, 0.5, 0.333333, 0.461538, 0.333333, 0.625),
+      "TEXT_FEATURE_jaro_text_similarity_TEXT_FEATURE_2" -> Seq(1.0, 0.428571, 0.809524, 0.690476, 0.809524, 0.958333),
+      "TEXT_FEATURE_jaro_winkler_text_similarity_TEXT_FEATURE_2" -> Seq(1.0, 0.428571, 0.809524, 0.690476, 0.866667, 0.970833)))
+  }
+
+  test("text similarity golden (pipeline params: substr 3, weight 0.2)") {
+    val df = run(
+      JaccardSimilarityTransformer(t1, t2, substrSize = 3),
+      JaroWinklerSimilarityTransformer(t1, t2, weight = 0.2))
+    assertColumns(df, Map(
+      "TEXT_FEATURE_jaccard_text_similarity_TEXT_FEATURE_2" -> Seq(1.0, 0.25, 0.111111, 0.307692, 0.2, 0.375),
+      "TEXT_FEATURE_jaro_winkler_text_similarity_TEXT_FEATURE_2" -> Seq(1.0, 0.428571, 0.809524, 0.690476, 0.92381, 0.983333)))
+  }
+
+  private lazy val textFrame: DataFrame = {
+    val schema = StructType(Seq(
+      StructField(Idx, IntegerType),
+      StructField("TEXT_FEATURE", StringType), StructField("EMAIL", StringType)))
+    val rows = Seq(
+      Row(0, "john.doe@example.com", "louis@gmail.com"),
+      Row(1, "USER123!!!", "user@seznam.cz"),
+      Row(2, "aaaBBB111", "john.doe@email.com"),
+      Row(3, "straße café 42", "london@gov.co.uk"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  test("text extraction golden (length, email domain, char entropy)") {
+    val tf = ColumnSpec.text("TEXT_FEATURE"); val em = ColumnSpec.text("EMAIL")
+    val df = FeatureExec.applyTransformers(textFrame, ctx, Seq(
+      TextLengthTransformer(tf),
+      EmailDomainExtractionTransformer(em),
+      CharacterEntropyTransformer(tf)))
+    assertColumns(df, Map(
+      "TEXT_FEATURE_length_chars" -> Seq(20, 10, 9, 14),
+      "EMAIL_email_domain" -> Seq("gmail.com", "seznam.cz", "email.com", "gov.co.uk"),
+      "TEXT_FEATURE_character_entropy" -> Seq(3.64644, 2.84644, 1.58496, 3.52164)))
+  }
+
+  test("count matches golden incl. named patterns and non-ascii") {
+    val tf = ColumnSpec.text("TEXT_FEATURE")
+    val df = FeatureExec.applyTransformers(textFrame, ctx, Seq(
+      TextCountMatchesTransformer(tf, """\d"""),
+      TextCountMatchesTransformer(tf, """\d{3,}"""),
+      TextCountMatchesTransformer(tf, """[A-Z]"""),
+      TextCountMatchesTransformer(tf, """[^A-Za-z0-9]"""),
+      TextCountMatchesTransformer(tf, """\s"""),
+      TextCountMatchesTransformer(tf, """[^\x00-\x7F]""")))
+    assertColumns(df, Map(
+      "TEXT_FEATURE_count_digits" -> Seq(0, 3, 3, 2),
+      "TEXT_FEATURE_count_consecutive_digits" -> Seq(0, 1, 1, 0),
+      "TEXT_FEATURE_count_uppercase" -> Seq(0, 4, 3, 0),
+      "TEXT_FEATURE_count_non_alphanumeric" -> Seq(3, 3, 0, 4),
+      "TEXT_FEATURE_count_whitespace" -> Seq(0, 0, 0, 2),
+      "TEXT_FEATURE_count_non_ascii" -> Seq(0, 0, 0, 2)))
+  }
+
+  test("email domain null on no-match; char entropy of empty string is 0") {
+    val t3 = ColumnSpec.text("TEXT_FEATURE_3")
+    val df = run(EmailDomainExtractionTransformer(t3), CharacterEntropyTransformer(t3))
+    assertColumns(df, Map(
+      "TEXT_FEATURE_3_email_domain" -> Seq("example.com", null, null, null, "co.gov.uk", null),
+      "TEXT_FEATURE_3_character_entropy" -> Seq(3.64644, 2.84644, 1.58496, 3.52164, 3.49923, 0.0)))
+  }
+}
