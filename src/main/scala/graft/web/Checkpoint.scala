@@ -1,0 +1,90 @@
+package graft.web
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Snapshot-manifest checkpointing emulating the Iceberg snapshot contract with plain
+  * Parquet (no Iceberg jars in this sandbox — SURVEY.md §7.4): data lands under
+  * `dir/data/<partitionCol>=<v>/`, and a JSON-lines manifest under `dir/manifest/`
+  * records which partition values are committed, with one atomically-renamed snapshot
+  * file per commit (`snapshot-N.json`).
+  *
+  * Resume contract (north rule): a killed run leaves data files but no snapshot entry
+  * for uncommitted partitions; `resumeWrite` recomputes ONLY uncommitted partitions and
+  * never touches committed ones. Per-partition lineage (rows, wall time) is recorded in
+  * the manifest entries.
+  */
+object Checkpoint {
+
+  final case class PartitionCommit(value: String, rows: Long, wallMillis: Long)
+  final case class WriteReport(written: Seq[PartitionCommit], skipped: Seq[String], snapshotId: Long)
+
+  private def manifestDir(dir: String) = Paths.get(dir, "manifest")
+
+  /** Committed partition values = union of all snapshot files. */
+  def committed(dir: String): Map[String, PartitionCommit] = {
+    val md = manifestDir(dir)
+    if (!Files.exists(md)) return Map.empty
+    Files.list(md).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("snapshot-"))
+      .flatMap { p =>
+        Files.readAllLines(p).asScala.filter(_.nonEmpty).map(parseLine)
+      }
+      .map(c => c.value -> c).toMap
+  }
+
+  def latestSnapshotId(dir: String): Long = {
+    val md = manifestDir(dir)
+    if (!Files.exists(md)) return -1L
+    Files.list(md).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("snapshot-") => s.stripPrefix("snapshot-").stripSuffix(".json").toLong }
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Write `df` partitioned by `partitionCol`, skipping committed partitions, then
+    * commit a new snapshot atomically. Each partition directory is written via
+    * dynamic partition overwrite so a re-run replaces partial output.
+    */
+  def resumeWrite(spark: SparkSession, df: DataFrame, partitionCol: String, dir: String): WriteReport = {
+    val done = committed(dir)
+    val todoDf =
+      if (done.isEmpty) df
+      else df.where(!col(partitionCol).cast("string").isin(done.keys.toSeq: _*))
+    val t0 = System.nanoTime()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    todoDf.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(s"$dir/data")
+    val wall = (System.nanoTime() - t0) / 1000000L
+
+    // per-partition lineage from the data just written
+    val counts = spark.read.parquet(s"$dir/data")
+      .groupBy(col(partitionCol).cast("string").as("v")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val newParts = counts.keySet -- done.keySet
+    val commits = newParts.toSeq.sorted.map(v => PartitionCommit(v, counts(v), wall))
+
+    val snapId = latestSnapshotId(dir) + 1
+    val md = manifestDir(dir)
+    Files.createDirectories(md)
+    val tmp = md.resolve(s".snapshot-$snapId.json.tmp")
+    Files.write(tmp, commits.map(renderLine).mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, md.resolve(s"snapshot-$snapId.json"), StandardCopyOption.ATOMIC_MOVE)
+    WriteReport(commits, done.keys.toSeq.sorted, snapId)
+  }
+
+  private def renderLine(c: PartitionCommit): String =
+    s"""{"value":"${c.value}","rows":${c.rows},"wallMillis":${c.wallMillis}}"""
+
+  private def parseLine(s: String): PartitionCommit = {
+    def field(name: String): String = {
+      val m = ("\"" + name + "\":\"?([^\",}]*)\"?").r.findFirstMatchIn(s)
+      m.map(_.group(1)).getOrElse(throw new IllegalArgumentException(s"bad manifest line: $s"))
+    }
+    PartitionCommit(field("value"), field("rows").toLong, field("wallMillis").toLong)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.web
+
+import graft.core._
+import graft.dataset.GraftDataset
+import graft.pipeline.{ops, Pipeline}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The flagship point-in-time feature-synthesis job over the Common-Crawl-style page
+  * table — the north-star workload: per (url, warc_ts), lag/lead deltas, rolling
+  * aggregates, sessionization, and count/distinct encodings over lang and text-derived
+  * columns, with zero temporal leakage (every feature is an order-bounded window in
+  * event time).
+  *
+  * Plan shape at scale: all per-url features share Window.partitionBy(url)
+  * .orderBy(warc_ts…) → ONE shuffle + sort services every feature; scalar text
+  * features ride the same projection (whole-stage codegen).
+  */
+object WebFeatures {
+
+  val pageSchema: FeatureSchema = FeatureSchema(
+    ColumnSpec.nominal("url", ColRole.Identifier),
+    ColumnSpec.datetime("warc_ts", ColRole.TimeInfo),
+    ColumnSpec.text("text"),
+    ColumnSpec.nominal("lang"))
+
+  /** @param pages (url, warc_ts, html, text, lang) — html is carried through untouched */
+  def pointInTime(pages: DataFrame, sessionGapSeconds: Long = 2 * 86400L): DataFrame = {
+    // scalar text-derived columns first (become pipeline inputs in the next layer)
+    val ds = GraftDataset(pages, pageSchema, orderBy = Seq("warc_ts", "url"))
+    val withFeatures = Pipeline(ds)
+      .withTextExtraction("text", Seq(ops.TextExtract.Length, ops.TextExtract.CharacterEntropy))
+      .withTextCountMatches("text", Seq("""\d""", """\s"""))
+      .withNewLayer()
+      // per-url point-in-time features — all share partitionBy(url)
+      .withCount(overColumnsCombinations = Seq(Seq("url")), cumulative = Cum.Inclusive)
+      .withLagged("text_length_chars", Seq(1), overColumnsCombinations = Seq(Seq("url")))
+      .withArithmeticAggregation("text_length_chars",
+        Seq(ops.Agg.Mean, ops.Agg.Max),
+        overColumnsCombinations = Seq(Seq("url")), cumulative = Cum.Exclusive)
+      .withCount(overColumnsCombinations = Seq(Seq("url")),
+        timeWindows = Seq("7d", "30d"), indexColumnName = Some("warc_ts"))
+      .withNumUnique("lang", overColumnsCombinations = Seq(Seq("url")), cumulative = Cum.Inclusive)
+      .toDF()
+
+    // session structure + exact-change tracking (window composition, same url shuffle)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("url")).orderBy(col("warc_ts"))
+    val sessioned = Sessionize.withSessionIds(withFeatures, Seq("url"), "warc_ts", sessionGapSeconds)
+    sessioned
+      .withColumn("text_fingerprint", xxhash64(col("text")))
+      .withColumn("text_changed",
+        coalesce(xxhash64(col("text")) =!= lag(xxhash64(col("text")), 1).over(w), lit(true)))
+      .withColumn("secs_since_last_snapshot",
+        col("warc_ts").cast("long") - lag(col("warc_ts"), 1).over(w).cast("long"))
+  }
+
+  /** Backfill: attach the latest page snapshot at-or-before each event's timestamp. */
+  def backfillEvents(events: DataFrame, pages: DataFrame,
+      bucketSeconds: Option[Long] = None): DataFrame = {
+    val valueCols = Seq("warc_ts", "text", "lang")
+    val paged = pages.select(col("url"), col("warc_ts"),
+      col("text"), col("lang"))
+    bucketSeconds match {
+      case Some(b) => AsOfJoin.backwardBucketed(events, paged, Seq("url"), "ts",
+        Seq("url"), "warc_ts", valueCols, b)
+      case None => AsOfJoin.backward(events, paged, Seq("url"), "ts",
+        Seq("url"), "warc_ts", valueCols)
+    }
+  }
+}

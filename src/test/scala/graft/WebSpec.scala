@@ -1,0 +1,135 @@
+package graft
+
+import graft.web._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Web-scale layer: as-of join vs a brute-force oracle (incl. the salted/bucketed
+  * variant and boundary cases), sessionization invariants, zero-temporal-leakage
+  * property, checkpoint resume, page-generator determinism.
+  */
+class WebSpec extends SparkTestBase {
+
+  private lazy val pages: DataFrame = Pages.generate(spark, numUrls = 300, seed = 7L, numPartitions = 4).cache()
+  private lazy val events: DataFrame = Pages.events(spark, pages, perSnapshot = 2, seed = 7L).cache()
+
+  /** Brute-force as-of oracle computed driver-side. */
+  private def bruteForce(strict: Boolean, tolerance: Option[Long]): Map[(String, Long), Option[Long]] = {
+    val snaps = pages.select("url", "warc_ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toInstant.getEpochSecond))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    events.select("url", "ts").collect().map { r =>
+      val url = r.getString(0); val ts = r.getTimestamp(1).toInstant.getEpochSecond
+      val cand = snaps.getOrElse(url, Array.empty[Long])
+        .filter(s => if (strict) s < ts else s <= ts)
+        .filter(s => tolerance.forall(t => ts - s <= t))
+      (url, ts) -> (if (cand.isEmpty) None else Some(cand.max))
+    }.toMap
+  }
+
+  private def checkAsOf(result: DataFrame, strict: Boolean, tolerance: Option[Long]): Unit = {
+    val expected = bruteForce(strict, tolerance)
+    val got = result.select(col("url"), col("ts"), col("warc_ts")).collect().map { r =>
+      val m = if (r.isNullAt(2)) None else Some(r.getTimestamp(2).toInstant.getEpochSecond)
+      (r.getString(0), r.getTimestamp(1).toInstant.getEpochSecond) -> m
+    }
+    assert(got.length == events.count())
+    val bad = got.filter { case (k, m) => expected(k) != m }
+    assert(bad.isEmpty, s"${bad.length} mismatches, first: ${bad.take(3).toSeq} vs expected ${bad.take(3).map(b => expected(b._1)).toSeq}")
+  }
+
+  test("as-of join (window formulation) matches brute force incl. exact-ts/before-first") {
+    checkAsOf(WebFeatures.backfillEvents(events, pages), strict = false, tolerance = None)
+  }
+
+  test("as-of join bucketed/salted variant matches brute force") {
+    checkAsOf(WebFeatures.backfillEvents(events, pages, bucketSeconds = Some(7 * 86400L)),
+      strict = false, tolerance = None)
+  }
+
+  test("strict as-of excludes equal timestamps") {
+    val r = AsOfJoin.backward(events, pages.select("url", "warc_ts", "text", "lang"),
+      Seq("url"), "ts", Seq("url"), "warc_ts", Seq("warc_ts", "text"), strict = true)
+    checkAsOf(r, strict = true, tolerance = None)
+  }
+
+  test("as-of tolerance nulls out stale matches") {
+    val tol = 3 * 86400L
+    val r = AsOfJoin.backward(events, pages.select("url", "warc_ts", "text", "lang"),
+      Seq("url"), "ts", Seq("url"), "warc_ts", Seq("warc_ts", "text"), tolerance = Some(tol))
+    checkAsOf(r, strict = false, tolerance = Some(tol))
+  }
+
+  test("sessionization invariants") {
+    val gap = 5 * 86400L
+    val s = Sessionize.withSessionIds(pages, Seq("url"), "warc_ts", gap)
+    // within a session, consecutive gaps <= gap; across session boundary > gap
+    val viol = s.where(
+      (col("session_event_idx") > 0 && col("session_gap_seconds") > gap) ||
+      (col("session_event_idx") === 0 && col("session_gap_seconds").isNotNull &&
+        col("session_gap_seconds") <= gap))
+    assert(viol.count() == 0)
+    // session ids are 0-based contiguous per url
+    val perUrl = s.groupBy("url").agg(
+      max(col("session_id")).as("maxId"),
+      countDistinct(col("session_id")).as("n")).where(col("maxId") =!= col("n") - 1)
+    assert(perUrl.count() == 0)
+    // stats consistency
+    val stats = Sessionize.sessionStats(pages, Seq("url"), "warc_ts", gap)
+    assert(stats.agg(sum("session_num_events")).head.getLong(0) == pages.count())
+  }
+
+  test("zero temporal leakage: truncating the future does not change past features") {
+    val cutoff = lit("2020-06-01").cast("timestamp")
+    val full = WebFeatures.pointInTime(pages)
+    val truncated = WebFeatures.pointInTime(pages.where(col("warc_ts") < cutoff))
+    val fullPast = full.where(col("warc_ts") < cutoff)
+    val cols = fullPast.columns.toSeq
+    assert(fullPast.count() == truncated.count())
+    assert(fullPast.select(cols.map(col): _*).exceptAll(truncated.select(cols.map(col): _*)).count() == 0)
+  }
+
+  test("page generator is deterministic and skewed; text derives from html") {
+    val again = Pages.generate(spark, numUrls = 300, seed = 7L, numPartitions = 8)
+    assert(pages.exceptAll(again).count() == 0 && again.exceptAll(pages).count() == 0)
+    val counts = pages.groupBy("url").count().agg(max("count"), avg("count")).head
+    assert(counts.getLong(0) >= 10 * counts.getDouble(1), s"expected hot-url skew: $counts")
+    // per-row invariant: text is byte-identical to the body embedded in html
+    val mismatch = pages.where(
+      decode(col("html"), "UTF-8") =!= concat(lit("<html><head><t>"), col("url_id"),
+        lit("</t></head><body>"), col("text"), lit("</body></html>")))
+    assert(mismatch.count() == 0)
+  }
+
+  test("checkpoint resume recomputes only uncommitted partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val df = pages.withColumn("bucket", pmod(col("url_id"), lit(4L)))
+      .select("url", "warc_ts", "text", "bucket")
+    // simulate a first run that only managed buckets 0 and 1
+    val r1 = Checkpoint.resumeWrite(spark, df.where(col("bucket") < 2), "bucket", dir)
+    assert(r1.written.map(_.value).toSet == Set("0", "1") && r1.snapshotId == 0)
+    // resumed run: full input, but only 2 and 3 get written
+    val r2 = Checkpoint.resumeWrite(spark, df, "bucket", dir)
+    assert(r2.written.map(_.value).toSet == Set("2", "3"), r2)
+    assert(r2.skipped.toSet == Set("0", "1") && r2.snapshotId == 1)
+    // total rows intact, committed map complete
+    assert(spark.read.parquet(s"$dir/data").count() == df.count())
+    assert(Checkpoint.committed(dir).keySet == Set("0", "1", "2", "3"))
+    // per-partition lineage row counts match the data
+    val expected = df.groupBy("bucket").count().collect()
+      .map(r => r.getLong(0).toString -> r.getLong(1)).toMap
+    assert(Checkpoint.committed(dir).view.mapValues(_.rows).toMap == expected)
+    // idempotent third run writes nothing
+    val r3 = Checkpoint.resumeWrite(spark, df, "bucket", dir)
+    assert(r3.written.isEmpty && r3.skipped.size == 4)
+  }
+
+  test("metrics listener captures per-task lineage and skew ratio") {
+    val l = GraftMetricsListener.attach(spark)
+    pages.groupBy("domain_id").count().count()
+    Thread.sleep(500) // let the listener bus drain
+    assert(l.taskStats.nonEmpty)
+    assert(l.summaryJson.contains("\"skewRatio\""))
+    assert(l.totalRecordsRead.sum() >= 0)
+  }
+}
