@@ -283,6 +283,71 @@ object Queries {
     Seq("value_standard_scaled", "value_minmax_scaled"),
     Set("value_standard_scaled", "value_minmax_scaled"))
 
+  // ------------------------------------------------------------- web-scale operators
+
+  /** As-of backfill: latest order at-or-before each event, per user. The right side is
+    * pre-deduplicated per (key, ts) — as-of is ambiguous under timestamp ties.
+    */
+  private def asofResult(spark: SparkSession, dir: String, bucketSeconds: Option[Long]): DataFrame = {
+    val events = spark.read.parquet(s"$dir/events.parquet").select("event_id", "ts", "user_id")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val joined = bucketSeconds match {
+      case Some(b) => graft.web.AsOfJoin.backwardBucketed(events, orders, Seq("user_id"), "ts",
+        Seq("o_custkey"), "o_orderdate", Seq("o_orderdate", "o_orderkey"), b)
+      case None => graft.web.AsOfJoin.backward(events, orders, Seq("user_id"), "ts",
+        Seq("o_custkey"), "o_orderdate", Seq("o_orderdate", "o_orderkey"))
+    }
+    joined.select(col("event_id"),
+      col("o_orderdate").cast("timestamp").cast("long").as("matched_epoch"),
+      col("o_orderkey")).orderBy("event_id")
+  }
+  private val qAsof: (SparkSession, String) => DataFrame = (s, d) => asofResult(s, d, None)
+  private val qAsofBucketed: (SparkSession, String) => DataFrame =
+    (s, d) => asofResult(s, d, Some(7 * 86400L))
+  private val qAsofSql =
+    "WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2) " +
+      "SELECT e.event_id, floor(epoch(o.o_orderdate))::BIGINT AS matched_epoch, o.o_orderkey " +
+      "FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate " +
+      "ORDER BY e.event_id"
+
+  private val qSessionize: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val events = spark.read.parquet(s"$dir/events.parquet").select("event_id", "ts", "user_id")
+    graft.web.Sessionize.withSessionIds(events, Seq("user_id"), "ts", 3600L)
+      .select(col("event_id"), col("session_id"), col("session_event_idx"), col("session_gap_seconds"))
+      .orderBy("event_id")
+  }
+  private val qSessionizeSql =
+    "WITH g AS (SELECT event_id, user_id, ts, " +
+      "floor(epoch(ts))::BIGINT - floor(epoch(lag(ts, 1) OVER w))::BIGINT AS session_gap_seconds, " +
+      "CASE WHEN floor(epoch(ts))::BIGINT - floor(epoch(lag(ts, 1) OVER w))::BIGINT IS NULL " +
+      "OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts, 1) OVER w))::BIGINT > 3600 THEN 1 ELSE 0 END AS is_new " +
+      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+      "s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id FROM g) " +
+      "SELECT event_id, session_id, " +
+      "row_number() OVER (PARTITION BY user_id, session_id ORDER BY ts) - 1 AS session_event_idx, " +
+      "session_gap_seconds FROM s ORDER BY event_id"
+
+  private val qSessionStats: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val events = spark.read.parquet(s"$dir/events.parquet").select("event_id", "ts", "user_id")
+    graft.web.Sessionize.sessionStats(events, Seq("user_id"), "ts", 3600L)
+      .select(col("user_id"), col("session_id"), col("session_num_events"),
+        col("session_duration_seconds"))
+      .orderBy("user_id", "session_id")
+  }
+  private val qSessionStatsSql =
+    "WITH g AS (SELECT user_id, ts, CASE WHEN floor(epoch(ts))::BIGINT - floor(epoch(lag(ts, 1) " +
+      "OVER (PARTITION BY user_id ORDER BY ts)))::BIGINT IS NULL OR " +
+      "floor(epoch(ts))::BIGINT - floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts)))::BIGINT > 3600 " +
+      "THEN 1 ELSE 0 END AS is_new FROM events), " +
+      "s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id FROM g) " +
+      "SELECT user_id, session_id, count(*) AS session_num_events, " +
+      "max(floor(epoch(ts))::BIGINT) - min(floor(epoch(ts))::BIGINT) AS session_duration_seconds " +
+      "FROM s GROUP BY 1, 2 ORDER BY 1, 2"
+
   // ----------------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -302,7 +367,11 @@ object Queries {
     "q_quantile" -> qQuantile,
     "q_seasonal" -> qSeasonal,
     "q_scalar_math" -> qScalarMath,
-    "q_scaling" -> qScaling)
+    "q_scaling" -> qScaling,
+    "q_asof" -> qAsof,
+    "q_asof_bucketed" -> qAsofBucketed,
+    "q_sessionize" -> qSessionize,
+    "q_session_stats" -> qSessionStats)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -321,5 +390,9 @@ object Queries {
     "q_quantile" -> qQuantileSql,
     "q_seasonal" -> qSeasonalSql,
     "q_scalar_math" -> qScalarMathSql,
-    "q_scaling" -> qScalingSql)
+    "q_scaling" -> qScalingSql,
+    "q_asof" -> qAsofSql,
+    "q_asof_bucketed" -> qAsofSql,
+    "q_sessionize" -> qSessionizeSql,
+    "q_session_stats" -> qSessionStatsSql)
 }

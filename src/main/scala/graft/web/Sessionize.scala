@@ -18,7 +18,7 @@ object Sessionize {
   def withSessionIds(df: DataFrame, keys: Seq[String], tsCol: String, gapSeconds: Long,
       prefix: String = "session_"): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol).asc)
-    val delta = col(tsCol).cast("long") - lag(col(tsCol), 1).over(w).cast("long")
+    val delta = col(tsCol).cast("timestamp").cast("long") - lag(col(tsCol), 1).over(w).cast("timestamp").cast("long")
     val isNew = when(delta.isNull || delta > gapSeconds, 1L).otherwise(0L)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val out = df
@@ -38,6 +38,6 @@ object Sessionize {
         count(lit(1)).as(s"${prefix}num_events"),
         min(col(tsCol)).as(s"${prefix}start"),
         max(col(tsCol)).as(s"${prefix}end"),
-        (max(col(tsCol)).cast("long") - min(col(tsCol)).cast("long")).as(s"${prefix}duration_seconds"))
+        (max(col(tsCol)).cast("timestamp").cast("long") - min(col(tsCol)).cast("timestamp").cast("long")).as(s"${prefix}duration_seconds"))
   }
 }
