@@ -1,0 +1,122 @@
+package graft.data
+
+import graft.functions.{hashfns, textfns}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for web-text corpora. Every method is shuffle-bounded by
+  * design: exact dedup is one hash-groupBy; the near-dup methods follow the standard
+  * candidate-generation → bucket-join → exact-verify shape, so the quadratic step only
+  * ever runs within a bucket, never across the corpus.
+  */
+object Dedup {
+
+  /** Exact dedup on md5(text): marks each row with its duplicate-group id and whether
+    * it is the keeper (min id wins). One shuffle on the 128-bit hash — at 100 TB this
+    * is the canonical map-side-combinable pattern.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__h"))
+    df.withColumn("__h", md5(col(textCol)))
+      .withColumn("dup_group_size", count(lit(1)).over(w))
+      .withColumn("dup_keeper_id", min(col(idCol)).over(w))
+      .withColumn("is_duplicate", col(idCol) =!= col("dup_keeper_id"))
+      .withColumnRenamed("__h", "text_md5")
+  }
+
+  /** Distinct character shingles of length k, computed per-row with higher-order
+    * functions (no explode of the corpus).
+    */
+  def shingles(text: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(length(text) - k, lit(0)) - lit(0)),
+      i => when(length(text) >= k, substring(text, (i + 1).cast("int"), lit(k)))))
+
+  /** MinHash signature: for each of `numHashes` seeds, the min over shingle hashes. */
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
+    val grams = shingles(text, k)
+    array((0 until numHashes).map(j => array_min(transform(grams, g => xxhash64(g, lit(j))))): _*)
+  }
+
+  /** MinHash + LSH banding near-dup candidate pairs, exact-verified.
+    *
+    * @return (idA, idB, jaccard) with idA < idB and exact shingle-jaccard ≥ threshold.
+    *         Banding: `numHashes` minhashes split into `bands`; two docs collide if any
+    *         band signature matches — P(collide) ≈ 1-(1-s^r)^b, tuned so docs at the
+    *         threshold are found with high probability.
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sig = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("__sig", minhashSignature(col(textCol), shingleSize, numHashes))
+    val banded = sig.select(col("id"), col("text"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",", (0 until rows).map(r => element_at(col("__sig"), b * rows + r + 1)): _*))
+      }: _*)).as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("idA"), col("text").as("textA"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("idB"), col("text").as("textB"))
+    val candidates = l.join(r, Seq("band", "bucket"))
+      .where(col("idA") < col("idB"))
+      .select("idA", "idB", "textA", "textB").distinct()
+    candidates
+      .withColumn("jaccard", textfns.ngramJaccardSim(col("textA"), col("textB"), shingleSize))
+      .where(col("jaccard") >= threshold)
+      .select("idA", "idB", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit simhash, bucketed on each of four 16-bit blocks
+    * (any pair within `maxHamming` ≤ 16 must agree on at least one block when
+    * maxHamming ≤ 3 by pigeonhole), verified with bit_count(xor).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), hashfns.simhash64(col(textCol)).as("sim"))
+    val blocks = sh.select(col("id"), col("sim"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("block", "blockVal")))
+    val l = blocks.select(col("block"), col("blockVal"), col("id").as("idA"), col("sim").as("simA"))
+    val r = blocks.select(col("block"), col("blockVal"), col("id").as("idB"), col("sim").as("simB"))
+    l.join(r, Seq("block", "blockVal"))
+      .where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        bit_count(col("simA").bitwiseXOR(col("simB"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Character n-gram jaccard similarity of two text columns (exact, per pair). */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = textfns.ngramJaccardSim(a, b, n)
+
+  /** Embedding near-dup pairs: random-hyperplane (SRP) sketch buckets, exact cosine
+    * verify. Hyperplane signs are deterministic functions of (bit, dim).
+    */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      sketchBits: Int = 16, threshold: Double = 0.95): DataFrame = {
+    val s = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("__sk", srpSketch(col("v"), sketchBits))
+    val l = s.select(col("__sk"), col("id").as("idA"), col("v").as("vA"))
+    val r = s.select(col("__sk"), col("id").as("idB"), col("v").as("vB"))
+    l.join(r, Seq("__sk"))
+      .where(col("idA") < col("idB"))
+      .withColumn("cosine", Ann.cosine(col("vA"), col("vB")))
+      .where(col("cosine") >= threshold)
+      .select("idA", "idB", "cosine")
+  }
+
+  /** Signed-random-projection sketch: bit i = sign(Σ_d v_d · rademacher(i, d)). */
+  def srpSketch(vec: Column, bits: Int): Column = {
+    val dims = size(vec)
+    val bitCols = (0 until bits).map { b =>
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), dims - 1),
+          (x, d) => x * when(pmod(xxhash64(lit(b), d), lit(2)) === 0, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a + b)
+  }
+}

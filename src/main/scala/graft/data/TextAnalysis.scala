@@ -1,0 +1,87 @@
+package graft.data
+
+import graft.functions.hashfns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis columns for training-data curation: language ID, quality scoring,
+  * token counting, document fingerprinting. All pure column expressions over the
+  * `documents` table — codegen-friendly, no shuffles, no UDF round-trips (the only
+  * non-builtin is the fingerprint Catalyst expression).
+  */
+object TextAnalysis {
+
+  /** Stopword profiles per language — the classic n-gram/function-word heuristic.
+    * Deterministic, dependency-free; ties resolve to the alphabetically-largest code
+    * via the (score, lang) struct max.
+    */
+  val stopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "für", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pour", "dans", "que", "une", "des"),
+    "es" -> Seq("el", "la", "los", "las", "que", "para", "con", "una", "por", "es"),
+    "cs" -> Seq("je", "na", "se", "že", "pro", "jako", "tak", "ale", "nebo", "podle"),
+    "it" -> Seq("il", "la", "che", "per", "con", "una", "del", "non", "sono", "della"))
+
+  private def wordCount(text: Column, words: Seq[String]): Column =
+    regexp_count(lower(text), lit(words.mkString("\\b(", "|", ")\\b")))
+
+  /** Per-language stopword-hit score, normalized by token count. */
+  def langScores(text: Column): Seq[(String, Column)] =
+    stopwordProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> (wordCount(text, words).cast("double") / greatest(tokenCount(text).cast("double"), lit(1.0)))
+    }
+
+  /** Heuristic language id: argmax stopword score; "und" (undetermined) when no
+    * profile scores above the floor.
+    */
+  def langId(text: Column, minScore: Double = 0.01): Column = {
+    val best = greatest(langScores(text).map { case (l, s) => struct(s.as("s"), lit(l).as("l")) }: _*)
+    when(best.getField("s") >= minScore, best.getField("l")).otherwise(lit("und"))
+  }
+
+  /** Whitespace-delimited token count. */
+  def whitespaceTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+")) - when(length(trim(text)) === 0, 1).otherwise(0)
+
+  /** BPE-ish token count: letter runs, digit runs, and single non-space symbols —
+    * the pre-tokenizer split most BPE vocabularies assume.
+    */
+  def tokenCount(text: Column): Column =
+    regexp_count(text, lit("""\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"""))
+
+  /** Composite quality score in [0,1]: length band, alpha ratio, stopword presence,
+    * moderate punctuation/digit density, sane mean word length.
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val alpha = regexp_count(text, lit("""\p{L}""")).cast("double")
+    val digits = regexp_count(text, lit("""\p{N}""")).cast("double")
+    val punct = regexp_count(text, lit("""[.,;:!?]""")).cast("double")
+    val toks = greatest(tokenCount(text).cast("double"), lit(1.0))
+    val stop = langScores(text).map(_._2).reduce((a, b) => greatest(a, b))
+
+    val lengthScore = least(len / 200.0, lit(1.0))
+    val alphaScore = alpha / greatest(len, lit(1.0))
+    val stopScore = least(stop * 10.0, lit(1.0))
+    val digitPenalty = least(digits / greatest(len, lit(1.0)) * 2.0, lit(1.0))
+    val punctScore = least(punct / toks * 5.0, lit(1.0))
+    greatest(least(
+      lengthScore * 0.3 + alphaScore * 0.3 + stopScore * 0.2 +
+        (lit(1.0) - digitPenalty) * 0.1 + punctScore * 0.1,
+      lit(1.0)), lit(0.0))
+  }
+
+  /** Content-defined document fingerprint (rolling hash over normalized text). */
+  def fingerprint(text: Column): Column = hashfns.rollingFingerprint(text)
+
+  /** Convenience: attach all analysis columns. */
+  def analyze(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("lang_id", langId(t))
+      .withColumn("token_count", tokenCount(t))
+      .withColumn("ws_token_count", whitespaceTokenCount(t))
+      .withColumn("quality_score", qualityScore(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic hashing kernels for the dedup family. All derive from splitmix64 —
+  * public-domain mixing constants (Steele et al., "Fast Splittable Pseudorandom Number
+  * Generators", OOPSLA'14) — so results are stable across JVMs and sessions.
+  */
+object HashKernels {
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  def hashString(s: String, seed: Long): Long = {
+    var h = seed
+    var i = 0
+    while (i < s.length) { h = splitmix64(h ^ s.charAt(i).toLong); i += 1 }
+    splitmix64(h ^ s.length.toLong)
+  }
+
+  /** Lower-cased word tokens (letters/digits runs). */
+  def tokens(text: String): Array[String] =
+    text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+
+  /** 64-bit SimHash over word tokens: bit b is the sign of Σ_tokens ±1 where the sign
+    * comes from bit b of the token hash. Near-duplicate documents differ in few bits.
+    */
+  def simhash64(text: String): Long = {
+    val acc = new Array[Int](64)
+    tokens(text).foreach { t =>
+      val h = hashString(t, 0x51A7_C0DEL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Polynomial rolling fingerprint over the whitespace-normalized, lower-cased text —
+    * the classic content-defined document fingerprint (base-31 Horner over code points).
+    */
+  def rollingFingerprint(text: String): Long = {
+    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    var h = 1125899906842597L
+    var i = 0
+    while (i < norm.length) { h = 31 * h + norm.codePointAt(i); i += 1 }
+    splitmix64(h)
+  }
+}
+
+abstract class StringLongExpression extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  protected def compute(s: String): Long
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String].toString)
+}
+
+case class SimHash64(child: Expression) extends StringLongExpression {
+  protected def compute(s: String): Long = HashKernels.simhash64(s)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class RollingFingerprint(child: Expression) extends StringLongExpression {
+  protected def compute(s: String): Long = HashKernels.rollingFingerprint(s)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+object hashfns {
+  def simhash64(c: Column): Column = ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+  def rollingFingerprint(c: Column): Column =
+    ColumnBridge.column(RollingFingerprint(ColumnBridge.expression(c)))
+}

@@ -1,0 +1,170 @@
+package graft
+
+import graft.data._
+import graft.functions.TextKernels
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-data ops: dedup family vs brute-force oracles, ANN recall, text analysis,
+  * multimodal plumbing. Runs on the driver-provided documents/embeddings tables plus
+  * synthesized near-duplicates.
+  */
+class DataOpsSpec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val docs: DataFrame = spark.read.parquet(s"$dir/documents.parquet").cache()
+  private lazy val embeddings: DataFrame = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+
+  /** documents plus exact copies and lightly-perturbed near-copies with known ids. */
+  private lazy val docsWithDups: DataFrame = {
+    val base = docs.select(col("doc_id"), col("text")).where(col("doc_id") < 200)
+    val exact = base.where(col("doc_id") < 20)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val near = base.where(col("doc_id") >= 20 && col("doc_id") < 40)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" xyzzy")).as("text"))
+    base.unionByName(exact).unionByName(near).cache()
+  }
+
+  test("exact dedup finds precisely the planted copies") {
+    val r = Dedup.exact(docsWithDups, "doc_id", "text")
+    val dups = r.where(col("is_duplicate")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val originalsWithCopy = r.where(!col("is_duplicate") && col("dup_group_size") > 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dups == (0L until 20L).map(_ + 100000).toSet, s"got $dups")
+    assert(originalsWithCopy == (0L until 20L).toSet)
+    assert(r.count() == docsWithDups.count())
+  }
+
+  test("minhash LSH finds exact and near dups, verified against brute-force jaccard") {
+    val threshold = 0.7
+    val got = Dedup.minhashLsh(docsWithDups, "doc_id", "text",
+      shingleSize = 5, numHashes = 64, bands = 16, threshold = threshold)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over all pairs (small corpus)
+    val all = docsWithDups.collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = (for {
+      (ia, ta) <- all; (ib, tb) <- all if ia < ib
+      if TextKernels.ngramJaccard(ta, tb, 5) >= threshold
+    } yield (ia, ib)).toSet
+    // precision must be exact (candidates are exact-verified); recall high but
+    // probabilistic — require the planted pairs all found and overall recall ≥ 0.9
+    assert(got.subsetOf(expected), s"false positives: ${(got -- expected).take(5)}")
+    val planted = (0L until 20L).map(i => (i, i + 100000)).toSet
+    assert(planted.subsetOf(got), s"missed planted exact dups: ${(planted -- got).take(5)}")
+    assert(got.size >= (expected.size * 0.9).toInt, s"recall ${got.size}/${expected.size}")
+  }
+
+  test("simhash finds near-identical token streams; hamming verified brute-force") {
+    val got = Dedup.simhashPairs(docsWithDups, "doc_id", "text", maxHamming = 3)
+      .select("idA", "idB", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = docsWithDups.collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = (for {
+      (ia, ta) <- all; (ib, tb) <- all if ia < ib
+      if java.lang.Long.bitCount(
+        graft.functions.HashKernels.simhash64(ta) ^ graft.functions.HashKernels.simhash64(tb)) <= 3
+    } yield (ia, ib)).toSet
+    assert(got == expected, s"diff: +${(got -- expected).take(3)} -${(expected -- got).take(3)}")
+    val planted = (0L until 20L).map(i => (i, i + 100000)).toSet
+    assert(planted.subsetOf(got))
+  }
+
+  test("brute-force cosine top-k matches a driver-side oracle") {
+    val queries = embeddings.where(col("vec_id") < 5)
+    val got = Ann.bruteForceTopK(embeddings, queries, "vec_id", "embedding", "vec_id", k = 3)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(2).toLong) -> r.getLong(1)).toMap
+
+    val vecs = embeddings.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    (0L until 5L).foreach { q =>
+      val expected = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1)
+      val actual = (1 to 3).map(rk => got((q, rk.toLong)))
+      assert(actual == expected, s"query $q: $actual vs $expected")
+    }
+  }
+
+  test("IVF top-k: full probe equals brute force; partial probe trades recall") {
+    val queries = embeddings.where(col("vec_id") < 20)
+    val exact = Ann.bruteForceTopK(embeddings, queries, "vec_id", "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing every cell must reproduce brute force exactly
+    val full = Ann.ivfTopK(embeddings, queries, "vec_id", "embedding", "vec_id",
+      k = 5, nCentroids = 16, nProbe = 16)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, s"full-probe IVF != brute force: +${(full -- exact).take(3)} -${(exact -- full).take(3)}")
+    // partial probe: sane recall even on near-random synthetic vectors (flat cosine
+    // landscape — real embeddings cluster and recall rises accordingly)
+    val approx = Ann.ivfTopK(embeddings, queries, "vec_id", "embedding", "vec_id",
+      k = 5, nCentroids = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall too low: $recall")
+    assert(approx.forall { case (q, _) => q < 20 })
+  }
+
+  test("embedding cosine near-dup pairs are exact-verified (no false positives)") {
+    // plant two exact-duplicate vectors
+    val dup = embeddings.where(col("vec_id") < 2)
+      .select((col("vec_id") + 50000).as("vec_id"), col("embedding"), col("label"))
+    val withDups = embeddings.unionByName(dup)
+    val got = Dedup.embeddingCosinePairs(withDups, "vec_id", "embedding",
+      sketchBits = 12, threshold = 0.999)
+    val pairs = got.select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((0L, 50000L), (1L, 50001L)).subsetOf(pairs), s"got $pairs")
+    assert(got.where(col("cosine") < 0.999).count() == 0)
+  }
+
+  test("text analysis: langid on planted sentences, token counts, quality, fingerprint") {
+    // the synthetic documents' lang labels are random w.r.t. their (English-jargon)
+    // content, so langid is validated on planted real-language sentences instead
+    import spark.implicits._
+    val planted = Seq(
+      ("en", "the cat sat on the mat and it was happy that the sun is out for now"),
+      ("de", "der hund ist nicht mit der katze und das ist ein problem für alle"),
+      ("fr", "le chat est dans la maison et les enfants sont pour une promenade"),
+      ("es", "el perro y la casa que los niños quieren para una fiesta con amigos"),
+      ("it", "il gatto non è una persona che sono con della casa per il mare")).toDF("lang", "text")
+    val ided = planted.withColumn("lang_id", TextAnalysis.langId(col("text")))
+    val wrong = ided.where(col("lang_id") =!= col("lang")).collect()
+    assert(wrong.isEmpty, s"langid misses: ${wrong.map(r => (r.getString(0), r.getString(2))).toSeq}")
+
+    val analyzed = TextAnalysis.analyze(docs.where(col("doc_id") < 500), "text").cache()
+    // documents (English-jargon words) should mostly classify en or und
+    val enOrUnd = analyzed.where(col("lang_id").isin("en", "und")).count().toDouble
+    assert(enOrUnd / analyzed.count() >= 0.9, s"unexpected langid spread: ${enOrUnd / analyzed.count()}")
+    // token counts: BPE-ish ≥ whitespace count; quality in [0,1]
+    assert(analyzed.where(col("token_count") < col("ws_token_count")).count() == 0)
+    assert(analyzed.where(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
+    // fingerprint is whitespace-normalization invariant
+    val a = TextAnalysis.fingerprint(lit("Hello   world\n"))
+    val b = TextAnalysis.fingerprint(lit("hello world"))
+    val r = spark.range(1).select(a.as("a"), b.as("b")).head
+    assert(r.getLong(0) == r.getLong(1))
+  }
+
+  test("multimodal plumbing: decode/resize/frame-sample stubs over typed Datasets") {
+    val media = Multimodal.syntheticMedia(docs.where(col("doc_id") < 300))
+    val decoded = Multimodal.decodeImages(media)
+    val images = decoded.collect()
+    assert(images.nonEmpty)
+    assert(images.forall(i => i.width >= 64 && i.height >= 64 && i.channels == 3 &&
+      i.meanLuma >= 0 && i.meanLuma <= 1))
+    val resized = Multimodal.resizeImages(decoded, 32, 32).collect()
+    assert(resized.length == images.length && resized.forall(_.thumbnail.nonEmpty))
+    val frames = Multimodal.sampleVideoFrames(media).collect()
+    assert(frames.nonEmpty && frames.forall(f => f.frames.size == f.frameIndices.size))
+    // determinism: same input → same decode
+    val again = Multimodal.decodeImages(media).collect()
+    assert(images.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq)
+  }
+}
