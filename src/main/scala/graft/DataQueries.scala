@@ -1,0 +1,212 @@
+package graft
+
+import graft.data.{Ann, Dedup, TextAnalysis}
+import graft.functions.hashfns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver-gate queries for the training-data ops (dedup / similarity search / text
+  * analysis) over the documents and embeddings tables. Same conventions as [[Queries]].
+  *
+  * Near-dup queries plant duplicates by unioning shifted copies of the input table —
+  * derived purely from the driver's data, mirrored verbatim in the oracle SQL — so the
+  * outputs are non-trivial.
+  */
+object DataQueries {
+
+  private def r6(cRaw: org.apache.spark.sql.Column) = {
+    val c = cRaw.cast("double")
+    when(isnan(c) || c === Double.PositiveInfinity || c === Double.NegativeInfinity, c)
+      .otherwise(floor(c * 1e6 + 0.5).cast("double") / 1e6)
+  }
+  private def r6sql(e: String): String =
+    s"CASE WHEN isnan(($e)::DOUBLE) OR NOT isfinite(($e)::DOUBLE) THEN ($e)::DOUBLE " +
+      s"ELSE floor(($e)::DOUBLE * 1000000 + 0.5) / 1000000 END"
+
+  /** documents ∪ exact copies (ids +100000) ∪ perturbed copies (ids +200000). */
+  private def docsWithDups(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).where(col("doc_id") < 500)
+    base
+      .unionByName(base.where(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionByName(base.where(col("doc_id") >= 50 && col("doc_id") < 100)
+        .select((col("doc_id") + 200000).as("doc_id"), concat(col("text"), lit(" xyzzy")).as("text")))
+  }
+  private val docsWithDupsSql =
+    "SELECT doc_id, text FROM documents WHERE doc_id < 500 " +
+      "UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50 " +
+      "UNION ALL SELECT doc_id + 200000, text || ' xyzzy' FROM documents WHERE doc_id >= 50 AND doc_id < 100"
+
+  // ------------------------------------------------------------------------- dedup
+
+  private val qDedupExact: (SparkSession, String) => DataFrame = (spark, dir) => {
+    Dedup.exact(docsWithDups(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("text_md5"), col("dup_group_size"),
+        col("dup_keeper_id"), col("is_duplicate"))
+      .orderBy("doc_id")
+  }
+  private val qDedupExactSql =
+    s"WITH d AS ($docsWithDupsSql) " +
+      "SELECT doc_id, md5(text) AS text_md5, " +
+      "count(*) OVER (PARTITION BY md5(text)) AS dup_group_size, " +
+      "min(doc_id) OVER (PARTITION BY md5(text)) AS dup_keeper_id, " +
+      "doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate " +
+      "FROM d ORDER BY doc_id"
+
+  /** Exact character-5-gram jaccard pairs ≥ 0.5 — the distributed exact formulation
+    * (distinct shingles → gram join → |∩|/|∪|), oracle via lateral gram expansion.
+    */
+  private val qNgramPairs: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val d = docsWithDups(spark, dir).where(col("doc_id") < 100 || col("doc_id") >= 100000)
+    val grams = d.select(col("doc_id"), explode(Dedup.shingles(col("text"), 5)).as("gram"))
+      .where(col("gram").isNotNull).distinct()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = grams.as("a").join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("idA"), col("b.doc_id").as("idB"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "idA").withColumnRenamed("n", "nA"), "idA")
+      .join(sizes.withColumnRenamed("doc_id", "idB").withColumnRenamed("n", "nB"), "idB")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("nA") + col("nB") - col("inter")).cast("double"))
+      .where(col("jaccard") >= 0.5)
+      .select(col("idA"), col("idB"), r6(col("jaccard")).as("jaccard"))
+      .orderBy("idA", "idB")
+  }
+  private val qNgramPairsSql =
+    s"WITH d AS (SELECT * FROM ($docsWithDupsSql) WHERE doc_id < 100 OR doc_id >= 100000), " +
+      "g AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(length(text) - 4, 0)), " +
+      "r -> substr(text, r, 5))) AS gram FROM d), " +
+      "sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1), " +
+      "pairs AS (SELECT a.doc_id AS idA, b.doc_id AS idB, count(*) AS inter " +
+      "FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "j AS (SELECT idA, idB, inter::DOUBLE / (sa.n + sb.n - inter)::DOUBLE AS jaccard " +
+      "FROM pairs JOIN sz sa ON sa.doc_id = idA JOIN sz sb ON sb.doc_id = idB) " +
+      s"SELECT idA, idB, ${r6sql("jaccard")} AS jaccard FROM j WHERE jaccard >= 0.5 ORDER BY idA, idB"
+
+  /** MinHash+LSH candidates exact-verified — banding internals are engine-specific, but
+    * with numHashes=64/bands=32 on planted exact+near dups the verified output equals
+    * the exact-threshold pair set, which IS SQL-expressible: the oracle recomputes the
+    * exact jaccard pair set at the same threshold. (If banding ever misses a true pair
+    * the hash-compare fails loudly — recall regression, not silent.)
+    */
+  private val qMinhashPairs: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val d = docsWithDups(spark, dir).where(col("doc_id") < 100 || col("doc_id") >= 100000)
+    Dedup.minhashLsh(d, "doc_id", "text", shingleSize = 5, numHashes = 64, bands = 32,
+      threshold = 0.5)
+      .select(col("idA"), col("idB"), r6(col("jaccard")).as("jaccard"))
+      .orderBy("idA", "idB")
+  }
+
+  // --------------------------------------------------------------------- similarity
+
+  private val qAnnTopK: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    Ann.bruteForceTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", "vec_id", k = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), r6(col("cosine")).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+  private val qAnnTopKSql =
+    "WITH s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+      "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
+      "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
+      "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine " +
+      "FROM embeddings a, embeddings b WHERE a.vec_id < 10 AND b.vec_id != a.vec_id), " +
+      "r AS (SELECT query_id, neighbor_id, cosine, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank " +
+      "FROM s) " +
+      s"SELECT query_id, rank, neighbor_id, ${r6sql("cosine")} AS cosine FROM r " +
+      "WHERE rank <= 3 ORDER BY query_id, rank"
+
+  // ------------------------------------------------------------------ text analysis
+
+  private val qTokenCount: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("token_count"),
+        TextAnalysis.whitespaceTokenCount(col("text")).as("ws_token_count"))
+      .orderBy("doc_id")
+  }
+  private val qTokenCountSql =
+    """SELECT doc_id, length(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS token_count, """ +
+      "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END " +
+      "AS ws_token_count FROM documents ORDER BY doc_id"
+
+  private val qQuality: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    d.select(col("doc_id"), r6(TextAnalysis.qualityScore(col("text"))).as("quality_score"))
+      .orderBy("doc_id")
+  }
+  private val qQualitySql = {
+    val stopRegexes = TextAnalysis.stopwordProfiles.toSeq.sortBy(_._1)
+      .map { case (_, ws) => ws.mkString("\\b(", "|", ")\\b") }
+    val stopTerms = stopRegexes.map(rx =>
+      s"length(regexp_extract_all(lower(text), '$rx'))::DOUBLE / greatest(toks, 1.0)").mkString("greatest(", ", ", ")")
+    "WITH b AS (SELECT doc_id, text, length(text)::DOUBLE AS len, " +
+      "length(regexp_extract_all(text, '\\p{L}'))::DOUBLE AS alpha, " +
+      "length(regexp_extract_all(text, '\\p{N}'))::DOUBLE AS digits, " +
+      "length(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE AS punct, " +
+      "greatest(length(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]'))::DOUBLE, 1.0) AS toks " +
+      "FROM documents), " +
+      s"c AS (SELECT doc_id, least(len / 200.0, 1.0) AS ls, alpha / greatest(len, 1.0) AS asc_, " +
+      s"least($stopTerms * 10.0, 1.0) AS ss, " +
+      "least(digits / greatest(len, 1.0) * 2.0, 1.0) AS dp, least(punct / toks * 5.0, 1.0) AS ps FROM b), " +
+      "q AS (SELECT doc_id, greatest(least(ls * 0.3 + asc_ * 0.3 + ss * 0.2 + (1.0 - dp) * 0.1 + ps * 0.1, 1.0), 0.0) AS quality_score FROM c) " +
+      s"SELECT doc_id, ${r6sql("quality_score")} AS quality_score FROM q ORDER BY doc_id"
+  }
+
+  private val qLangId: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id")).orderBy("doc_id")
+  }
+  private val qLangIdSql = {
+    val scoreRows = TextAnalysis.stopwordProfiles.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      val rx = ws.mkString("\\b(", "|", ")\\b")
+      s"SELECT doc_id, '$lang' AS lang, length(regexp_extract_all(lower(text), '$rx'))::DOUBLE / " +
+        "greatest(length(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]'))::DOUBLE, 1.0) AS score FROM documents"
+    }.mkString(" UNION ALL ")
+    s"WITH s AS ($scoreRows), " +
+      "best AS (SELECT doc_id, lang, score FROM s " +
+      "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) = 1) " +
+      "SELECT doc_id, CASE WHEN score >= 0.01 THEN lang ELSE 'und' END AS lang_id " +
+      "FROM best ORDER BY doc_id"
+  }
+
+  /** Rows-only (no SQL-expressible oracle): simhash + rolling fingerprints. */
+  private val qFingerprints: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    d.select(col("doc_id"), hashfns.simhash64(col("text")).as("simhash"),
+        hashfns.rollingFingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  private val qSimhashPairs: (SparkSession, String) => DataFrame = (spark, dir) => {
+    Dedup.simhashPairs(docsWithDups(spark, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy("idA", "idB")
+  }
+
+  // ----------------------------------------------------------------------- registry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> qDedupExact,
+    "q_ngram_pairs" -> qNgramPairs,
+    "q_minhash_pairs" -> qMinhashPairs,
+    "q_ann_topk" -> qAnnTopK,
+    "q_token_count" -> qTokenCount,
+    "q_quality" -> qQuality,
+    "q_langid" -> qLangId,
+    "q_fingerprints" -> qFingerprints,
+    "q_simhash_pairs" -> qSimhashPairs)
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_ngram_pairs" -> qNgramPairsSql,
+    "q_minhash_pairs" -> qNgramPairsSql, // banding must recover the full exact pair set here
+    "q_ann_topk" -> qAnnTopKSql,
+    "q_token_count" -> qTokenCountSql,
+    "q_quality" -> qQualitySql,
+    "q_langid" -> qLangIdSql)
+}

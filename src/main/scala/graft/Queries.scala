@@ -371,7 +371,7 @@ object Queries {
     "q_asof" -> qAsof,
     "q_asof_bucketed" -> qAsofBucketed,
     "q_sessionize" -> qSessionize,
-    "q_session_stats" -> qSessionStats)
+    "q_session_stats" -> qSessionStats) ++ DataQueries.all
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -394,5 +394,5 @@ object Queries {
     "q_asof" -> qAsofSql,
     "q_asof_bucketed" -> qAsofSql,
     "q_sessionize" -> qSessionizeSql,
-    "q_session_stats" -> qSessionStatsSql)
+    "q_session_stats" -> qSessionStatsSql) ++ DataQueries.oracles
 }
