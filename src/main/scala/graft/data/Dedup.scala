@@ -33,11 +33,11 @@ object Dedup {
       sequence(lit(0), greatest(length(text) - k, lit(0)) - lit(0)),
       i => when(length(text) >= k, substring(text, (i + 1).cast("int"), lit(k)))))
 
-  /** MinHash signature: for each of `numHashes` seeds, the min over shingle hashes. */
-  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
-    val grams = shingles(text, k)
-    array((0 until numHashes).map(j => array_min(transform(grams, g => xxhash64(g, lit(j))))): _*)
-  }
+  /** MinHash signature: for each of `numHashes` seeds, the min over shingle hashes.
+    * Single-pass native expression (see [[graft.functions.MinHashSignature]]).
+    */
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column =
+    hashfns.minhashSignature(text, k, numHashes)
 
   /** MinHash + LSH banding near-dup candidate pairs, exact-verified.
     *
