@@ -174,18 +174,39 @@ final case class NumUniqueTransformer(column: ColumnSpec, cumulative: Cum = Cum.
           simple(size(collect_set(sel).over(ctx.frame(Cum.None))) + nullInd.over(ctx.frame(Cum.None)))
       case Cum.Inclusive =>
         if (ctx.rolling.isDefined) unsupported("rolling cumulative num_unique")
-        val ifd = row_number().over(ctx.seqW(Seq(v))) === 1
-        simple(sum(when(ifd && c, 1).otherwise(0)).over(ctx.runW()))
+        if (cond.isEmpty)
+          // unfiltered: running collect_set is equivalent to the reference's
+          // is_first_distinct cum_sum AND avoids the extra (partition ∪ value)
+          // exchange — the whole feature family keeps one shuffle
+          simple(size(collect_set(v).over(ctx.runW())) +
+            max(when(v.isNull, 1).otherwise(0)).over(ctx.runW()))
+        else {
+          // filtered: the reference counts a value only if its FIRST occurrence row
+          // (in the raw column) passes the filter — requires the per-value position
+          val ifd = row_number().over(ctx.seqW(Seq(v))) === 1
+          simple(sum(when(ifd && c, 1).otherwise(0)).over(ctx.runW()))
+        }
       case Cum.Exclusive =>
         if (ctx.rolling.isDefined) unsupported("rolling cumulative num_unique")
-        // replicate inclusive.is_first_distinct().cum_sum().shift(1, 0) verbatim
-        val inc = tmp.fresh("nuincl"); val e = tmp.fresh("nuexcl")
-        val ifd = row_number().over(ctx.seqW(Seq(v))) === 1
-        val stages = Vector(
-          Vector(Derived(inc, sum(when(ifd && c, 1).otherwise(0)).over(ctx.runW()))),
-          Vector(Derived(e, sum(when(row_number().over(ctx.seqW(Seq(col(inc)))) === 1, 1).otherwise(0))
-            .over(ctx.runW()))))
-        FeaturePlan(outputName, outputSpec, stages, lag(col(e), 1, 0).over(ctx.seqW()))
+        if (cond.isEmpty) {
+          // on an unfiltered nondecreasing inclusive series the reference's
+          // is_first_distinct trick reduces exactly to a 1-row shift with fill 0
+          val inc = tmp.fresh("nuincl")
+          val incCol = size(collect_set(v).over(ctx.runW())) +
+            max(when(v.isNull, 1).otherwise(0)).over(ctx.runW())
+          FeaturePlan(outputName, outputSpec, Vector(Vector(Derived(inc, incCol))),
+            lag(col(inc), 1, 0).over(ctx.seqW()))
+        } else {
+          // replicate inclusive.is_first_distinct().cum_sum().shift(1, 0) verbatim —
+          // including its off-by-one when the filter rejects row 0
+          val inc = tmp.fresh("nuincl"); val e = tmp.fresh("nuexcl")
+          val ifd = row_number().over(ctx.seqW(Seq(v))) === 1
+          val stages = Vector(
+            Vector(Derived(inc, sum(when(ifd && c, 1).otherwise(0)).over(ctx.runW()))),
+            Vector(Derived(e, sum(when(row_number().over(ctx.seqW(Seq(col(inc)))) === 1, 1).otherwise(0))
+              .over(ctx.runW()))))
+          FeaturePlan(outputName, outputSpec, stages, lag(col(e), 1, 0).over(ctx.seqW()))
+        }
     }
   }
 }

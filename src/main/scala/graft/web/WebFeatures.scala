@@ -43,9 +43,13 @@ object WebFeatures {
       .withNumUnique("lang", overColumnsCombinations = Seq(Seq("url")), cumulative = Cum.Inclusive)
       .toDF()
 
-    // session structure + exact-change tracking (window composition, same url shuffle)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("url")).orderBy(col("warc_ts"))
-    val sessioned = Sessionize.withSessionIds(withFeatures, Seq("url"), "warc_ts", sessionGapSeconds)
+    // session structure + exact-change tracking — same (url, (warc_ts, url)) window
+    // family as every pipeline feature above, so it rides the same shuffle + sort
+    val order = Seq("warc_ts", "url")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("url"))
+      .orderBy(order.map(col(_).asc): _*)
+    val sessioned = Sessionize.withSessionIds(withFeatures, Seq("url"), "warc_ts",
+      sessionGapSeconds, orderBy = order)
     sessioned
       .withColumn("text_fingerprint", xxhash64(col("text")))
       .withColumn("text_changed",

@@ -1,0 +1,98 @@
+package graft
+
+import graft.core._
+import graft.dataset.GraftDataset
+import graft.pipeline.{ops, Pipeline}
+import graft.web.{Pages, WebFeatures}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape guarantees — the 100 TB design contract, enforced as tests:
+  *  - features sharing (partition, order) collapse into few Window nodes
+  *  - one exchange serves the whole per-key feature family
+  *  - column pruning reaches the parquet scan
+  *  - whole-dataset scalars broadcast (no single-partition window)
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  private def count(p: String, token: String): Int = p.linesIterator.count(_.contains(token))
+
+  test("the whole per-url feature family shares one shuffle (plus the generator's)") {
+    val pages = Pages.generate(spark, 2000, seed = 3L, numPartitions = 4)
+    val df = WebFeatures.pointInTime(pages)
+    val p = plan(df)
+    // dependent window stages may not merge, but they must REUSE the (url) sort:
+    // exchanges = generator's url_id shuffle + ONE url shuffle, and ≤4 sorts
+    // (generator, url, url+rolling-long-key; the rolling re-sort is within-partition)
+    val exchanges = count(p, "Exchange hashpartitioning")
+    val sorts = count(p, "Sort [")
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n${p.take(4000)}")
+    assert(sorts <= 4, s"expected <=4 sorts, got $sorts")
+  }
+
+  test("feature count does not drive exchange count") {
+    val ds = GraftDataset(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "ts", "user_id", "value"),
+      FeatureSchema(
+        ColumnSpec.numeric("event_id", ColRole.Identifier),
+        ColumnSpec.datetime("ts", ColRole.TimeInfo),
+        ColumnSpec.nominal("user_id", ColRole.Identifier),
+        ColumnSpec.numeric("value")),
+      Seq("ts", "event_id"))
+    def exchangesFor(lags: Seq[Int]): Int = {
+      val df = Pipeline(ds)
+        .withLagged("value", lags, overColumnsCombinations = Seq(Seq("user_id")))
+        .withCount(overColumnsCombinations = Seq(Seq("user_id")), cumulative = Cum.Inclusive)
+        .withArithmeticAggregation("value", Seq(ops.Agg.Sum, ops.Agg.Mean, ops.Agg.Min, ops.Agg.Max),
+          overColumnsCombinations = Seq(Seq("user_id")), cumulative = Cum.Inclusive)
+        .toDF()
+      count(plan(df), "Exchange hashpartitioning")
+    }
+    val few = exchangesFor(Seq(1))
+    val many = exchangesFor(Seq(1, 2, 3, 4, 5, 6, 7, 8))
+    assert(few == many, s"exchanges grew with feature count: $few -> $many")
+    assert(many == 1, s"expected exactly 1 exchange, got $many")
+  }
+
+  test("column pruning reaches the parquet scan") {
+    val dir = "/root/testdata/sf0.001"
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    val schema = FeatureSchema(
+      ColumnSpec.numeric("event_id", ColRole.Identifier),
+      ColumnSpec.datetime("ts", ColRole.TimeInfo),
+      ColumnSpec.nominal("user_id", ColRole.Identifier),
+      ColumnSpec.numeric("value"))
+    val ds = GraftDataset(df.select("event_id", "ts", "user_id", "value"), schema, Seq("ts", "event_id"))
+    val out = Pipeline(ds)
+      .withLagged("value", Seq(1), overColumnsCombinations = Seq(Seq("user_id")))
+      .toDF()
+      .select("event_id", "value_lagged_1_over_user_id")
+    val p = plan(out)
+    // the scan must not read event_type/props (pruned by Catalyst)
+    val scanLine = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(!scanLine.contains("props") && !scanLine.contains("event_type"),
+      s"scan not pruned: $scanLine")
+  }
+
+  test("whole-dataset scalers use broadcast join, not a single-partition window") {
+    val out = Pipeline(basicDataset())
+      .withScaling("NUMERIC_FEATURE", Seq(ops.Scaling.Standard, ops.Scaling.MinMax))
+      .toDF()
+    val p = plan(out)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast for global scalars:\n${p.take(3000)}")
+    // no Window with empty partition spec (single-task funnel)
+    assert(!p.contains("windowspecdefinition()"), "found empty-partition window")
+  }
+
+  test("as-of join is one shuffle over the key") {
+    val pages = Pages.generate(spark, 1000, seed = 3L, numPartitions = 4)
+    val events = Pages.events(spark, pages)
+    val p = plan(WebFeatures.backfillEvents(events, pages))
+    // union + window: exchanges only for the two inputs' partitioning (hashpartition url)
+    val exchanges = count(p, "Exchange hashpartitioning")
+    assert(exchanges <= 1, s"as-of should shuffle once on the key, got $exchanges exchanges")
+  }
+}
