@@ -100,6 +100,15 @@ class AggregatingSpec extends SparkTestBase {
       "GROUPING_FEATURE_NUM_inclusive_cum_num_unique_where_BOOL_FEATURE" -> Seq(1, 1, 2, 2, 2, 2)))
   }
 
+  test("num unique cumulative unfiltered (collect_set fast path)") {
+    val df = run(
+      NumUniqueTransformer(grp, Cum.Inclusive),
+      NumUniqueTransformer(grp, Cum.Exclusive))
+    assertColumns(df, Map(
+      "GROUPING_FEATURE_NUM_inclusive_cum_num_unique" -> Seq(1, 2, 3, 3, 3, 3),
+      "GROUPING_FEATURE_NUM_exclusive_cum_num_unique" -> Seq(0, 1, 2, 3, 3, 3)))
+  }
+
   private lazy val entropyFrame: DataFrame = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
