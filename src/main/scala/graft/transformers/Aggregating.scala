@@ -228,10 +228,18 @@ final case class EntityEntropyTransformer(source: ColumnSpec, target: ColumnSpec
   def outputName: String = s"${target.name}_by_${source.name}_${cumulative.prefix}entropy"
 
   def plan(ctx: AggContext, tmp: TempNamer): FeaturePlan = {
-    if (ctx.rolling.isDefined) unsupported("rolling entity entropy")
     val src = col(source.name)
     val tgtName = tmp.fresh("enttgt")
     val tgt = coalesce(col(target.name).cast("string"), lit("N/A"))
+    if (ctx.rolling.isDefined) {
+      if (cumulative != Cum.None) unsupported("rolling cumulative entity entropy")
+      // rolling: collect the window's targets per (partition, source) and aggregate
+      // whole — Polars evaluates the full inner expression per window
+      return FeaturePlan(outputName, outputSpec,
+        Vector(Vector(Derived(tgtName, tgt))),
+        graft.functions.arrayfns.arrayEntropy(
+          collect_list(col(tgtName)).over(ctx.frame(Cum.None, Seq(src)))))
+    }
     cumulative match {
       case Cum.None =>
         val srcTgt = Seq(src, col(tgtName))
@@ -280,7 +288,7 @@ final case class PmiTransformer(a: ColumnSpec, b: ColumnSpec, cumulative: Cum = 
   def outputName: String = s"${a.name}_${b.name}_${cumulative.prefix}pmi" + whereSuffix(cond)
 
   def plan(ctx: AggContext, tmp: TempNamer): FeaturePlan = {
-    if (ctx.rolling.isDefined) unsupported("rolling PMI")
+    if (ctx.rolling.isDefined && cumulative != Cum.None) unsupported("rolling cumulative PMI")
     val ca = col(a.name); val cb = col(b.name)
     val total = countOver(ctx, cumulative, cond).cast("double")
     val pa = ieeeDiv(countOver(ctx, cumulative, cond, Seq(ca)), total)
@@ -436,10 +444,15 @@ sealed abstract class ArgExtremeTransformer extends AggregatingTransformer {
   protected def extreme(c: Column): Column // min or max
 
   def plan(ctx: AggContext, tmp: TempNamer): FeaturePlan = {
-    if (ctx.rolling.isDefined) unsupported(s"rolling $direction")
     val rawV = inputs.numeric(valueColumn)
     val argC = col(argColumn.name)
     val v = when(condCol(cond), rawV)
+    if (ctx.rolling.isDefined) {
+      if (cumulative != Cum.None) unsupported(s"rolling cumulative $direction")
+      return simple(graft.functions.arrayfns.arrayArgExtreme(
+        collect_list(struct(v.as("v"), argC.as("a"))).over(ctx.frame(Cum.None)),
+        findMax = direction == "argmax"))
+    }
     cumulative match {
       case Cum.None =>
         val m = tmp.fresh("argm")

@@ -114,6 +114,28 @@ class WrapperSpec extends SparkTestBase {
       "NUMERIC_FEATURE_first_value_over_GROUPING_FEATURE_NUM_in_the_last_2d1h" -> Seq(0, 1, 2, 1, 2, 3)))
   }
 
+  test("rolling entropy / pmi / argmin / argmax (hand-computed oracles, 2d1h window)") {
+    val df = run(
+      RollingWrapper(EntityEntropyTransformer(
+        ColumnSpec.text("TEXT_FEATURE"), ColumnSpec.nominal("GROUPING_FEATURE_NUM")), dateSpec, "2d1h"),
+      RollingWrapper(PmiTransformer(
+        ColumnSpec.nominal("GROUPING_FEATURE_NUM"), ColumnSpec.nominal("GROUPING_FEATURE_CAT_2")), dateSpec, "2d1h"),
+      RollingWrapper(ArgMinTransformer(ColumnSpec.numeric("NUMERIC_FEATURE_2"),
+        ColumnSpec.ordinal("CATEGORICAL_FEATURE")), dateSpec, "2d1h"),
+      RollingWrapper(ArgMaxTransformer(ColumnSpec.numeric("NUMERIC_FEATURE"),
+        ColumnSpec.ordinal("CATEGORICAL_FEATURE"), Cum.None,
+        Some(Cond.ofColumn("BOOL_FEATURE"))), dateSpec, "2d1h"))
+    assertColumns(df, Map(
+      "GROUPING_FEATURE_NUM_by_TEXT_FEATURE_entropy_in_the_last_2d1h" ->
+        Seq(0.0, 1.0, 1.584963, 0.918296, 0.918296, 0.918296),
+      "GROUPING_FEATURE_NUM_GROUPING_FEATURE_CAT_2_pmi_in_the_last_2d1h" ->
+        Seq(0.0, 1.0, 0.584963, -0.415037, 0.0, 0.584963),
+      "argmin_of_NUMERIC_FEATURE_2_by_CATEGORICAL_FEATURE_in_the_last_2d1h" ->
+        Seq("A", "B", "C", "D", "E", "F"),
+      "argmax_of_NUMERIC_FEATURE_by_CATEGORICAL_FEATURE_where_BOOL_FEATURE_in_the_last_2d1h" ->
+        Seq("A", "A", "C", "C", "E", "E")))
+  }
+
   test("rolling count with both windows golden (2d excludes the open left edge)") {
     val df = run(
       RollingWrapper(CountTransformer(), dateSpec, "2d"),
