@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured-Streaming counterpart of the batch point-in-time features: the batch
+  * engine's cumulative/EXCLUSIVE operators are prefix aggregates in event time, which
+  * is exactly per-key streaming state (SURVEY.md §1.2). This module computes the same
+  * per-url features incrementally over a stream of page snapshots:
+  * snapshot index, seconds since last snapshot, gap-based session id, text-change flag,
+  * running text-length mean — each value uses only rows at-or-before its snapshot, so
+  * zero temporal leakage holds by construction here too.
+  *
+  * Batch/stream parity is tested: replaying the synthetic page table through
+  * `MemoryStream` must reproduce the batch job's values for the shared features.
+  */
+object StreamingFeatures {
+
+  final case class PageEvent(url: String, warc_ts: Timestamp, text: String, lang: String)
+
+  final case class UrlState(
+      snapshots: Long,
+      lastTsSeconds: Long,
+      sessionId: Long,
+      lastTextHash: Long,
+      lengthSum: Double)
+
+  final case class PageFeature(
+      url: String,
+      warc_ts: Timestamp,
+      snapshot_idx: Long, // 1-based, == batch inclusive_cum_count_over_url
+      secs_since_last_snapshot: Option[Long],
+      session_id: Long,
+      text_changed: Boolean,
+      text_length_running_mean: Double)
+
+  /** Per-url incremental feature computation. Events within a micro-batch are
+    * processed in event-time order; state carries across batches.
+    */
+  def features(pages: Dataset[PageEvent], sessionGapSeconds: Long): Dataset[PageFeature] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.groupByKey(_.url).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (url: String, events: Iterator[PageEvent], state: GroupState[UrlState]) =>
+        var s = state.getOption.getOrElse(UrlState(0L, Long.MinValue, -1L, 0L, 0.0))
+        val out = events.toSeq.sortBy(_.warc_ts.getTime).map { e =>
+          val ts = e.warc_ts.toInstant.getEpochSecond
+          val gap = if (s.snapshots == 0) None else Some(ts - s.lastTsSeconds)
+          val newSession = gap.forall(_ > sessionGapSeconds)
+          val textHash = graft.functions.HashKernels.hashString(e.text, 0L)
+          val f = PageFeature(
+            url = url,
+            warc_ts = e.warc_ts,
+            snapshot_idx = s.snapshots + 1,
+            secs_since_last_snapshot = gap,
+            session_id = if (newSession) s.sessionId + 1 else s.sessionId,
+            text_changed = s.snapshots == 0 || textHash != s.lastTextHash,
+            text_length_running_mean = (s.lengthSum + e.text.length) / (s.snapshots + 1))
+          s = UrlState(s.snapshots + 1, ts,
+            if (newSession) s.sessionId + 1 else s.sessionId, textHash,
+            s.lengthSum + e.text.length)
+          f
+        }
+        state.update(s)
+        out.iterator
+    }
+  }
+
+  /** Watermarked per-url tumbling-window snapshot counts — the streaming analogue of
+    * the batch rolling count, with late data dropped past the watermark.
+    */
+  def windowedCounts(pages: Dataset[PageEvent], windowDuration: String,
+      watermark: String): org.apache.spark.sql.DataFrame =
+    pages.toDF()
+      .withWatermark("warc_ts", watermark)
+      .groupBy(col("url"), window(col("warc_ts"), windowDuration))
+      .agg(count(lit(1)).as("snapshots_in_window"),
+        approx_count_distinct(col("lang")).as("langs_in_window"))
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.streaming.StreamingFeatures
+import graft.streaming.StreamingFeatures.PageEvent
+import graft.web.{Pages, WebFeatures}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Batch/stream parity: replaying the synthetic page table through MemoryStream must
+  * reproduce the batch job's values for the shared features — the streaming engine is
+  * the same point-in-time semantics expressed as per-key state.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  test("stateful streaming features match the batch point-in-time job") {
+    import spark.implicits._
+    val pages = Pages.generate(spark, numUrls = 120, seed = 11L, numPartitions = 2)
+      .select(col("url"), col("warc_ts"), col("text"), col("lang"))
+      .as[PageEvent]
+    val batch = WebFeatures.pointInTime(pages.toDF())
+      .select(col("url"), col("warc_ts"),
+        col("inclusive_cum_count_over_url").cast("long").as("snapshot_idx"),
+        col("secs_since_last_snapshot"),
+        col("session_id"),
+        col("text_changed"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)) -> r).toMap
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[PageEvent]
+    val query = StreamingFeatures.features(input.toDS(), sessionGapSeconds = 2 * 86400L)
+      .writeStream.format("memory").queryName("stream_features")
+      .outputMode("append").start()
+    try {
+      // feed in two event-time-ordered micro-batches (state must carry across)
+      val rows = pages.collect().sortBy(e => (e.warc_ts.getTime, e.url))
+      val (first, second) = rows.splitAt(rows.length / 2)
+      input.addData(first.toSeq)
+      query.processAllAvailable()
+      input.addData(second.toSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.table("stream_features").collect()
+    assert(streamed.length == batch.size)
+    streamed.foreach { r =>
+      val key = (r.getString(0), r.getTimestamp(1))
+      val b = batch(key)
+      assert(r.getLong(2) == b.getLong(2), s"snapshot_idx mismatch at $key")
+      val streamGap = if (r.isNullAt(3)) null else Long.box(r.getLong(3))
+      val batchGap = if (b.isNullAt(3)) null else Long.box(b.getLong(3))
+      assert(streamGap == batchGap, s"gap mismatch at $key")
+      assert(r.getLong(4) == b.getLong(4), s"session_id mismatch at $key")
+      assert(r.getBoolean(5) == b.getBoolean(5), s"text_changed mismatch at $key")
+    }
+  }
+
+  test("watermarked windowed counts produce rows and respect the window width") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[PageEvent]
+    val query = StreamingFeatures.windowedCounts(input.toDS(), "7 days", "1 day")
+      .writeStream.format("memory").queryName("stream_windows")
+      .outputMode("append").start()
+    try {
+      val rows = Pages.generate(spark, numUrls = 50, seed = 12L, numPartitions = 2)
+        .select(col("url"), col("warc_ts"), col("text"), col("lang"))
+        .as[PageEvent].collect().sortBy(_.warc_ts.getTime)
+      input.addData(rows.toSeq)
+      query.processAllAvailable()
+      // advance the watermark far past the data so all windows close and emit
+      val last = rows.last
+      input.addData(PageEvent(last.url,
+        java.sql.Timestamp.from(last.warc_ts.toInstant.plusSeconds(365L * 86400)),
+        "tick", "en"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.table("stream_windows")
+    assert(out.count() > 0)
+    val badWidth = out.where(
+      col("window.end").cast("long") - col("window.start").cast("long") =!= 7L * 86400).count()
+    assert(badWidth == 0)
+  }
+}
