@@ -181,6 +181,59 @@ case class NgramJaccardSimilarity(left: Expression, right: Expression, n: Int)
     copy(left = l, right = r)
 }
 
+/** Single-pass counter for the common character classes — ~10× cheaper than a
+  * java.util.regex scan for the patterns the web pipeline counts per row at volume.
+  * Used automatically by TextCountMatchesTransformer when the requested regex is one
+  * of these classes; arbitrary regexes still go through `regexp_count`.
+  */
+case class CharClassCount(child: Expression, className: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  @transient private lazy val pred: Int => Boolean = className match {
+    // exact Java-regex equivalents: \d and \s are ASCII-only without
+    // UNICODE_CHARACTER_CLASS, matching both Spark regexp_count and Polars' goldens
+    case "digits_ascii"     => cp => cp >= '0' && cp <= '9'
+    case "whitespace_ascii" => cp =>
+      cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+    case "uppercase"        => cp => cp >= 'A' && cp <= 'Z'
+    case "lowercase"        => cp => cp >= 'a' && cp <= 'z'
+    case "letter"           => cp => (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')
+    case "non_alphanumeric" => cp =>
+      !((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9'))
+    case "non_ascii"        => cp => cp > 0x7F
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (pred(cp)) n += 1
+      i += Character.charCount(cp)
+    }
+    n
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object CharClassCount {
+  /** Java-regex Character.isDigit/isWhitespace match `\d`/`\s` on these inputs only for
+    * ASCII `\d` (Java `\d` is ASCII-only by default, isDigit is Unicode) — so `\d` maps
+    * to an explicit ASCII check below via the `digits_ascii` alias.
+    */
+  val byRegex: Map[String, String] = Map(
+    """\d""" -> "digits_ascii",
+    """\s""" -> "whitespace_ascii",
+    """[A-Z]""" -> "uppercase",
+    """[a-z]""" -> "lowercase",
+    """[A-Za-z]""" -> "letter",
+    """[^A-Za-z0-9]""" -> "non_alphanumeric",
+    """[^\x00-\x7F]""" -> "non_ascii")
+}
+
 case class CharacterEntropy(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(v: Any): Any =

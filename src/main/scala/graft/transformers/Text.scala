@@ -105,7 +105,13 @@ final case class TextCountMatchesTransformer(c: ColumnSpec, regex: String, human
   def returnType: ColType = ColType.Numeric
   def outputName: String = s"${c.name}_count_$humanName"
   def plan(ctx: AggContext, tmp: TempNamer): FeaturePlan =
-    simple(regexp_count(col(c.name), lit(regex)))
+    // single-character-class patterns take a regex-free single-pass counter
+    graft.functions.CharClassCount.byRegex.get(regex) match {
+      case Some(cls) => simple(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.CharClassCount(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(c.name)), cls)))
+      case None => simple(regexp_count(col(c.name), lit(regex)))
+    }
 }
 
 object TextCountMatchesTransformer {
