@@ -348,6 +348,83 @@ object Queries {
       "max(floor(epoch(ts))::BIGINT) - min(floor(epoch(ts))::BIGINT) AS session_duration_seconds " +
       "FROM s GROUP BY 1, 2 ORDER BY 1, 2"
 
+  private def asofVariant(spark: SparkSession, dir: String, strict: Boolean,
+      tolerance: Option[Long]): DataFrame = {
+    val events = spark.read.parquet(s"$dir/events.parquet").select("event_id", "ts", "user_id")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    graft.web.AsOfJoin.backward(events, orders, Seq("user_id"), "ts",
+        Seq("o_custkey"), "o_orderdate", Seq("o_orderdate", "o_orderkey"),
+        strict = strict, tolerance = tolerance)
+      .select(col("event_id"),
+        col("o_orderdate").cast("timestamp").cast("long").as("matched_epoch"),
+        col("o_orderkey")).orderBy("event_id")
+  }
+
+  private val qAsofStrict: (SparkSession, String) => DataFrame =
+    (s, d) => asofVariant(s, d, strict = true, tolerance = None)
+  private val qAsofStrictSql =
+    "WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2) " +
+      "SELECT e.event_id, floor(epoch(o.o_orderdate))::BIGINT AS matched_epoch, o.o_orderkey " +
+      "FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts > o.o_orderdate " +
+      "ORDER BY e.event_id"
+
+  private val qAsofTolerance: (SparkSession, String) => DataFrame =
+    (s, d) => asofVariant(s, d, strict = false, tolerance = Some(30L * 86400L))
+  private val qAsofToleranceSql =
+    "WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2), " +
+      "j AS (SELECT e.event_id, o.o_orderdate, o.o_orderkey, " +
+      "floor(epoch(e.ts))::BIGINT - floor(epoch(o.o_orderdate))::BIGINT AS age " +
+      "FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate) " +
+      "SELECT event_id, CASE WHEN age <= 2592000 THEN floor(epoch(o_orderdate))::BIGINT END AS matched_epoch, " +
+      "CASE WHEN age <= 2592000 THEN o_orderkey END AS o_orderkey FROM j ORDER BY event_id"
+
+  /** Inclusive cumulative entity entropy — the incremental identity in both engines. */
+  private val qCumEntropy = eventFeatures(Seq("event_type_by_user_id_inclusive_cum_entropy"),
+    _.withEntityEntropy("user_id", "event_type", cumulative = Cum.Inclusive),
+    roundCols = Set("event_type_by_user_id_inclusive_cum_entropy"))
+  private val qCumEntropySql = eventOracle(
+    "WITH b AS (SELECT event_id, user_id, ts, " +
+      "row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)::DOUBLE AS c, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::DOUBLE AS n FROM events), " +
+      "t AS (SELECT event_id, user_id, ts, n, CASE WHEN c = 1 THEN 0 " +
+      "ELSE c * log2(c) - (c - 1) * log2(c - 1) END AS delta FROM b) " +
+      "SELECT event_id, log2(n) - sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / n AS event_type_by_user_id_inclusive_cum_entropy FROM t",
+    Seq("event_type_by_user_id_inclusive_cum_entropy"),
+    Set("event_type_by_user_id_inclusive_cum_entropy"))
+
+  /** Rolling PMI over a 7-day window — counts lower to range frames in both engines. */
+  private val qRollingPmi = eventFeatures(Seq("user_id_event_type_pmi_in_the_last_7d"),
+    _.withPointwiseMutualInformation("user_id", "event_type",
+      timeWindows = Seq("7d"), indexColumnName = Some("ts")),
+    roundCols = Set("user_id_event_type_pmi_in_the_last_7d"))
+  private val qRollingPmiSql = eventOracle(
+    "WITH b AS (SELECT event_id, " +
+      "count(*) OVER (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW)::DOUBLE AS ca, " +
+      "count(*) OVER (PARTITION BY event_type ORDER BY floor(epoch(ts))::BIGINT RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW)::DOUBLE AS cb, " +
+      "count(*) OVER (PARTITION BY user_id, event_type ORDER BY floor(epoch(ts))::BIGINT RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW)::DOUBLE AS cab, " +
+      "count(*) OVER (ORDER BY floor(epoch(ts))::BIGINT RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW)::DOUBLE AS n FROM events) " +
+      "SELECT event_id, log2((cab / n) / ((ca / n) * (cb / n))) AS user_id_event_type_pmi_in_the_last_7d FROM b",
+    Seq("user_id_event_type_pmi_in_the_last_7d"), Set("user_id_event_type_pmi_in_the_last_7d"))
+
+  /** Grouped argmin/argmax: value of the arg column at the group's extreme, first row
+    * (in event-time order) winning ties.
+    */
+  private val qArgExtreme = eventFeatures(
+    Seq("argmin_of_value_by_event_type_over_user_id", "argmax_of_value_by_event_type_over_user_id"),
+    p => p.withArgmin("value", "event_type", overColumnsCombinations = Seq(Seq("user_id")))
+      .withArgmax("value", "event_type", overColumnsCombinations = Seq(Seq("user_id"))))
+  private val qArgExtremeSql = eventOracle(
+    "SELECT event_id, " +
+      "first_value(event_type) OVER (PARTITION BY user_id ORDER BY value ASC NULLS LAST, ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS argmin_of_value_by_event_type_over_user_id, " +
+      "first_value(event_type) OVER (PARTITION BY user_id ORDER BY value DESC NULLS LAST, ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS argmax_of_value_by_event_type_over_user_id " +
+      "FROM events",
+    Seq("argmin_of_value_by_event_type_over_user_id", "argmax_of_value_by_event_type_over_user_id"))
+
   // ----------------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -371,7 +448,12 @@ object Queries {
     "q_asof" -> qAsof,
     "q_asof_bucketed" -> qAsofBucketed,
     "q_sessionize" -> qSessionize,
-    "q_session_stats" -> qSessionStats) ++ DataQueries.all
+    "q_session_stats" -> qSessionStats,
+    "q_asof_strict" -> qAsofStrict,
+    "q_asof_tolerance" -> qAsofTolerance,
+    "q_cum_entropy" -> qCumEntropy,
+    "q_rolling_pmi" -> qRollingPmi,
+    "q_arg_extreme" -> qArgExtreme) ++ DataQueries.all
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -394,5 +476,10 @@ object Queries {
     "q_asof" -> qAsofSql,
     "q_asof_bucketed" -> qAsofSql,
     "q_sessionize" -> qSessionizeSql,
-    "q_session_stats" -> qSessionStatsSql) ++ DataQueries.oracles
+    "q_session_stats" -> qSessionStatsSql,
+    "q_asof_strict" -> qAsofStrictSql,
+    "q_asof_tolerance" -> qAsofToleranceSql,
+    "q_cum_entropy" -> qCumEntropySql,
+    "q_rolling_pmi" -> qRollingPmiSql,
+    "q_arg_extreme" -> qArgExtremeSql) ++ DataQueries.oracles
 }
