@@ -49,18 +49,21 @@ object WebFeatures {
       .toDF()
 
     // session structure + exact-change tracking — same (url, (warc_ts, url)) window
-    // family as every pipeline feature above, so it rides the same shuffle + sort
+    // family as every pipeline feature above, so it rides the same shuffle + sort.
+    // The independent lag features are computed BEFORE sessionization so Catalyst's
+    // CollapseWindow merges them into sessionize's first (independent) window node
+    // instead of trailing its dependent second stage.
     val order = Seq("warc_ts", "url")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("url"))
       .orderBy(order.map(col(_).asc): _*)
-    val sessioned = Sessionize.withSessionIds(withFeatures, Seq("url"), "warc_ts",
-      sessionGapSeconds, orderBy = order)
-    sessioned
+    val withLags = withFeatures
       .withColumn("text_fingerprint", xxhash64(col("text")))
       .withColumn("text_changed",
         coalesce(xxhash64(col("text")) =!= lag(xxhash64(col("text")), 1).over(w), lit(true)))
       .withColumn("secs_since_last_snapshot",
         col("warc_ts").cast("long") - lag(col("warc_ts"), 1).over(w).cast("long"))
+    Sessionize.withSessionIds(withLags, Seq("url"), "warc_ts",
+      sessionGapSeconds, orderBy = order)
   }
 
   /** Backfill: attach the latest page snapshot at-or-before each event's timestamp. */
