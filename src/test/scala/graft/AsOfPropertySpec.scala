@@ -35,9 +35,10 @@ class AsOfPropertySpec extends SparkTestBase {
         spark.sparkContext.parallelize(rights.map { case (k, t) => Row(k, ts(t), s"$k@$t") }, 2),
         rightSchema)
 
-      def expected(strict: Boolean): Map[Int, Option[String]] =
+      def expected(strict: Boolean, tolerance: Option[Long] = None): Map[Int, Option[String]] =
         lefts.zipWithIndex.map { case ((k, t), i) =>
           val cand = rights.filter(r => r._1 == k && (if (strict) r._2 < t else r._2 <= t))
+            .filter(r => tolerance.forall(tol => t - r._2 <= tol))
           i -> (if (cand.isEmpty) None else {
             val m = cand.maxBy(_._2)
             Some(s"${m._1}@${m._2}")
@@ -54,12 +55,19 @@ class AsOfPropertySpec extends SparkTestBase {
         Seq("k"), "rts", Seq("payload"), strict = true))
       val bucketed = actual(AsOfJoin.backwardBucketed(leftDf, rightDf, Seq("k"), "ts",
         Seq("k"), "rts", Seq("payload"), bucketSeconds = 300))
+      val bucketedStrict = actual(AsOfJoin.backwardBucketed(leftDf, rightDf, Seq("k"), "ts",
+        Seq("k"), "rts", Seq("payload"), bucketSeconds = 300, strict = true))
+      val bucketedTol = actual(AsOfJoin.backwardBucketed(leftDf, rightDf, Seq("k"), "ts",
+        Seq("k"), "rts", Seq("payload"), bucketSeconds = 300, tolerance = Some(500L)))
 
       val e = expected(strict = false); val eStrict = expected(strict = true)
+      val eTol = expected(strict = false, tolerance = Some(500L))
       Prop.all(
         Prop(plain == e) :| "plain mismatch",
         Prop(strictRes == eStrict) :| "strict mismatch",
-        Prop(bucketed == e) :| "bucketed mismatch")
+        Prop(bucketed == e) :| "bucketed mismatch",
+        Prop(bucketedStrict == eStrict) :| "bucketed-strict mismatch",
+        Prop(bucketedTol == eTol) :| "bucketed-tolerance mismatch")
     }
     val result = SCTest.check(SCTest.Parameters.default
       .withMinSuccessfulTests(8).withInitialSeed(org.scalacheck.rng.Seed(42L)), prop)
