@@ -23,16 +23,33 @@ object Checkpoint {
 
   private def manifestDir(dir: String) = Paths.get(dir, "manifest")
 
-  /** Committed partition values = union of all snapshot files. */
-  def committed(dir: String): Map[String, PartitionCommit] = {
+  /** Committed partition values = union of all snapshot files (optionally only up to
+    * `asOfSnapshot`, giving Iceberg-style time travel over the commit history).
+    */
+  def committed(dir: String, asOfSnapshot: Long = Long.MaxValue): Map[String, PartitionCommit] = {
     val md = manifestDir(dir)
     if (!Files.exists(md)) return Map.empty
     Files.list(md).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("snapshot-"))
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("snapshot-") &&
+          n.stripPrefix("snapshot-").stripSuffix(".json").toLong <= asOfSnapshot
+      }
       .flatMap { p =>
         Files.readAllLines(p).asScala.filter(_.nonEmpty).map(parseLine)
       }
       .map(c => c.value -> c).toMap
+  }
+
+  /** Time-travel read: the table as of a given snapshot id — only partitions committed
+    * by snapshots ≤ `snapshotId` are visible, regardless of what later runs added.
+    */
+  def readSnapshot(spark: SparkSession, dir: String, snapshotId: Long,
+      partitionCol: String): DataFrame = {
+    val visible = committed(dir, snapshotId).keys.toSeq
+    val df = spark.read.parquet(s"$dir/data")
+    if (visible.isEmpty) df.where(lit(false))
+    else df.where(col(partitionCol).cast("string").isin(visible: _*))
   }
 
   def latestSnapshotId(dir: String): Long = {

@@ -124,6 +124,34 @@ class WebSpec extends SparkTestBase {
     assert(r3.written.isEmpty && r3.skipped.size == 4)
   }
 
+  test("end-to-end kill/resume of the feature job reproduces the direct run exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    // feature table partitioned by month — the realistic resumable layout
+    val features = WebFeatures.pointInTime(pages)
+      .withColumn("month_bucket", date_format(col("warc_ts"), "yyyy-MM"))
+    // "killed" first run: only managed a prefix of the months
+    val months = features.select("month_bucket").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(months.length >= 3, s"fixture too small: ${months.toSeq}")
+    val firstHalf = months.take(months.length / 2)
+    val r1 = Checkpoint.resumeWrite(spark,
+      features.where(col("month_bucket").isin(firstHalf: _*)), "month_bucket", dir)
+    assert(r1.written.map(_.value).toSet == firstHalf.toSet)
+    // resume with the full job: only the remaining months are recomputed
+    val r2 = Checkpoint.resumeWrite(spark, features, "month_bucket", dir)
+    assert(r2.written.map(_.value).toSet == months.toSet -- firstHalf)
+    assert(r2.skipped.toSet == firstHalf.toSet)
+    // resumed output == a direct single-shot run, row for row
+    val resumed = spark.read.parquet(s"$dir/data").drop("month_bucket")
+    val direct = WebFeatures.pointInTime(pages)
+    assert(resumed.count() == direct.count())
+    assert(resumed.exceptAll(direct).count() == 0 && direct.exceptAll(resumed).count() == 0)
+    // time travel: snapshot 0 sees only the first run's months
+    val atFirst = Checkpoint.readSnapshot(spark, dir, r1.snapshotId, "month_bucket")
+    assert(atFirst.select("month_bucket").distinct().collect()
+      .map(_.getString(0)).toSet == firstHalf.toSet)
+  }
+
   test("metrics listener captures per-task lineage and skew ratio") {
     val l = GraftMetricsListener.attach(spark)
     pages.groupBy("domain_id").count().count()
