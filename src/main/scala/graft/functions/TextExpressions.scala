@@ -181,40 +181,79 @@ case class NgramJaccardSimilarity(left: Expression, right: Expression, n: Int)
     copy(left = l, right = r)
 }
 
-/** Single-pass counter for the common character classes — ~10× cheaper than a
-  * java.util.regex scan for the patterns the web pipeline counts per row at volume.
-  * Used automatically by TextCountMatchesTransformer when the requested regex is one
-  * of these classes; arbitrary regexes still go through `regexp_count`.
+/** UTF8String byte-level kernels for the common character classes. All ASCII classes
+  * test lead bytes directly (UTF-8 continuation bytes 0x80-0xBF never collide with
+  * ASCII ranges); the complement classes count code points via numChars().
+  * Exact Java-regex equivalents: `\d`/`\s` are ASCII-only without
+  * UNICODE_CHARACTER_CLASS, matching both Spark regexp_count and Polars' goldens.
   */
-case class CharClassCount(child: Expression, className: String)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+object CharClassKernels {
+  val Digits = 0; val Whitespace = 1; val Uppercase = 2; val Lowercase = 3
+  val Letter = 4; val NonAlphanumeric = 5; val NonAscii = 6
 
-  @transient private lazy val pred: Int => Boolean = className match {
-    // exact Java-regex equivalents: \d and \s are ASCII-only without
-    // UNICODE_CHARACTER_CLASS, matching both Spark regexp_count and Polars' goldens
-    case "digits_ascii"     => cp => cp >= '0' && cp <= '9'
-    case "whitespace_ascii" => cp =>
-      cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
-    case "uppercase"        => cp => cp >= 'A' && cp <= 'Z'
-    case "lowercase"        => cp => cp >= 'a' && cp <= 'z'
-    case "letter"           => cp => (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')
-    case "non_alphanumeric" => cp =>
-      !((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9'))
-    case "non_ascii"        => cp => cp > 0x7F
-  }
+  val idByName: Map[String, Int] = Map(
+    "digits_ascii" -> Digits, "whitespace_ascii" -> Whitespace, "uppercase" -> Uppercase,
+    "lowercase" -> Lowercase, "letter" -> Letter, "non_alphanumeric" -> NonAlphanumeric,
+    "non_ascii" -> NonAscii)
 
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
-    var n = 0
+  def count(s: UTF8String, cls: Int): Int = {
+    val n = s.numBytes()
+    var c = 0
     var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      if (pred(cp)) n += 1
-      i += Character.charCount(cp)
+    cls match {
+      case Digits =>
+        while (i < n) { val b = s.getByte(i); if (b >= '0' && b <= '9') c += 1; i += 1 }
+        c
+      case Whitespace =>
+        while (i < n) {
+          val b = s.getByte(i)
+          if (b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r') c += 1
+          i += 1
+        }
+        c
+      case Uppercase =>
+        while (i < n) { val b = s.getByte(i); if (b >= 'A' && b <= 'Z') c += 1; i += 1 }
+        c
+      case Lowercase =>
+        while (i < n) { val b = s.getByte(i); if (b >= 'a' && b <= 'z') c += 1; i += 1 }
+        c
+      case Letter =>
+        while (i < n) {
+          val b = s.getByte(i)
+          if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) c += 1
+          i += 1
+        }
+        c
+      case NonAlphanumeric =>
+        while (i < n) {
+          val b = s.getByte(i)
+          if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) c += 1
+          i += 1
+        }
+        s.numChars() - c
+      case NonAscii =>
+        while (i < n) { if ((s.getByte(i) & 0x80) == 0) c += 1; i += 1 }
+        s.numChars() - c
     }
-    n
   }
+}
+
+/** Single-pass counter for the common character classes — no regex engine, no String
+  * materialization, and fully whole-stage-codegen'd (doGenCode calls the static
+  * kernel). Used automatically by TextCountMatchesTransformer when the requested regex
+  * is one of these classes; arbitrary regexes still go through `regexp_count`.
+  */
+case class CharClassCount(child: Expression, className: String) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  private val classId: Int = CharClassKernels.idByName(className)
+
+  override def nullSafeEval(v: Any): Any =
+    CharClassKernels.count(v.asInstanceOf[UTF8String], classId)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharClassKernels.count($c, $classId)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
