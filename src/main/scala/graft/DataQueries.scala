@@ -175,18 +175,72 @@ object DataQueries {
       "FROM best ORDER BY doc_id"
   }
 
-  /** Rows-only (no SQL-expressible oracle): simhash + rolling fingerprints. */
-  private val qFingerprints: (SparkSession, String) => DataFrame = (spark, dir) => {
-    val d = spark.read.parquet(s"$dir/documents.parquet")
-    d.select(col("doc_id"), hashfns.simhash64(col("text")).as("simhash"),
-        hashfns.rollingFingerprint(col("text")).as("fingerprint"))
-      .orderBy("doc_id")
+  /** documents ∪ exact copies only (ids +100000) — the planted pair set is derivable
+    * in SQL via md5(text) equality, giving the hash-family queries a real oracle.
+    */
+  private def docsWithExactDups(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).where(col("doc_id") < 500)
+    base.unionByName(base.where(col("doc_id") < 50)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+  private val docsWithExactDupsSql =
+    "SELECT doc_id, text FROM documents WHERE doc_id < 500 " +
+      "UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50"
+
+  /** The documents table is drawn from a ~30-word vocabulary, so DISTINCT docs are
+    * often genuine near-duplicates (hamming(simhash) ≤ 3) — correct behavior, but not
+    * SQL-derivable. Salting each text with heavy tokens derived from md5(text) keeps
+    * identical texts identical (planted pairs survive) while driving every pair of
+    * distinct texts to ~random hamming distance (≈32 ≫ 3), making the md5-equality
+    * pair set the exact expected output.
+    */
+  private def saltedText(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val chunks = regexp_replace(md5(text), "(....)", "$1 ") // 8 four-hex-char tokens
+    concat(text, lit(" "), concat_ws(" ", Seq.fill(8)(chunks): _*)) // ×8 vote weight
   }
 
+  /** Fingerprint dedup-group stats: rolling-fingerprint and simhash equality classes
+    * over planted exact dups must equal the md5 classes (the SQL oracle) — a collision
+    * or a normalization bug fails the hash-compare loudly.
+    */
+  private val qFingerprints: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val wf = Window.partitionBy(col("fp"))
+    val ws = Window.partitionBy(col("sim"))
+    docsWithExactDups(spark, dir)
+      .select(col("doc_id"), hashfns.rollingFingerprint(col("text")).as("fp"),
+        hashfns.simhash64(saltedText(col("text"))).as("sim"))
+      .select(col("doc_id"),
+        count(lit(1)).over(wf).as("fp_group_size"),
+        min(col("doc_id")).over(wf).as("fp_keeper_id"),
+        (col("doc_id") =!= min(col("doc_id")).over(wf)).as("fp_is_duplicate"),
+        count(lit(1)).over(ws).as("sim_group_size"))
+      .orderBy("doc_id")
+  }
+  private val qFingerprintsSql =
+    s"WITH d AS ($docsWithExactDupsSql) " +
+      "SELECT doc_id, count(*) OVER w AS fp_group_size, " +
+      "min(doc_id) OVER w AS fp_keeper_id, " +
+      "doc_id != min(doc_id) OVER w AS fp_is_duplicate, " +
+      "count(*) OVER w AS sim_group_size " +
+      "FROM d WINDOW w AS (PARTITION BY md5(text)) ORDER BY doc_id"
+
+  /** SimHash pairs on planted exact dups, via the blocks=8 combination-bucket path
+    * (the ≥10⁹-doc configuration). maxHamming=3 so the buckets are exercised for
+    * real; the expected pair set is the md5-equal set (hamming 0) — any stray
+    * near-pair among the base docs would fail loudly.
+    */
   private val qSimhashPairs: (SparkSession, String) => DataFrame = (spark, dir) => {
-    Dedup.simhashPairs(docsWithDups(spark, dir), "doc_id", "text", maxHamming = 3)
+    val d = docsWithExactDups(spark, dir)
+      .select(col("doc_id"), saltedText(col("text")).as("text"))
+    Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3, blocks = 8)
       .orderBy("idA", "idB")
   }
+  private val qSimhashPairsSql =
+    s"WITH d AS ($docsWithExactDupsSql) " +
+      "SELECT a.doc_id AS idA, b.doc_id AS idB, 0::BIGINT AS hamming " +
+      "FROM d a JOIN d b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id " +
+      "ORDER BY idA, idB"
 
   // ----------------------------------------------------------------------- registry
 
@@ -208,5 +262,7 @@ object DataQueries {
     "q_ann_topk" -> qAnnTopKSql,
     "q_token_count" -> qTokenCountSql,
     "q_quality" -> qQualitySql,
-    "q_langid" -> qLangIdSql)
+    "q_langid" -> qLangIdSql,
+    "q_fingerprints" -> qFingerprintsSql,
+    "q_simhash_pairs" -> qSimhashPairsSql)
 }

@@ -44,12 +44,20 @@ object Queries {
     s"CASE WHEN isnan(($e)::DOUBLE) OR NOT isfinite(($e)::DOUBLE) THEN ($e)::DOUBLE " +
       s"ELSE floor(($e)::DOUBLE * 1000000 + 0.5) / 1000000 END"
 
-  /** Window-function features on events via the Pipeline, projected + rounded. */
+  /** Window-function features on events via the Pipeline, projected + rounded.
+    * `longCols` widens int32 engine outputs to int64 — DuckDB's integer window
+    * aggregates come back BIGINT/HUGEINT, and the gate hashes typed values.
+    */
   private def eventFeatures(names: Seq[String], build: Pipeline => Pipeline,
-      roundCols: Set[String] = Set.empty): (SparkSession, String) => DataFrame =
+      roundCols: Set[String] = Set.empty,
+      longCols: Set[String] = Set.empty): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       val out = build(Pipeline(eventsDs(spark, dir))).toDF()
-      val cols = col("event_id") +: names.map(n => if (roundCols(n)) r6(col(n)).as(n) else col(n))
+      val cols = col("event_id") +: names.map { n =>
+        if (roundCols(n)) r6(col(n)).as(n)
+        else if (longCols(n)) col(n).cast("long").as(n)
+        else col(n)
+      }
       out.select(cols: _*).orderBy("event_id")
     }
 
@@ -136,15 +144,21 @@ object Queries {
     Seq("event_type_num_unique_over_user_id", "event_type_inclusive_cum_num_unique_over_user_id"),
     p => p.withNumUnique("event_type", overColumnsCombinations = Seq(Seq("user_id")))
       .withNumUnique("event_type", overColumnsCombinations = Seq(Seq("user_id")),
-        cumulative = Cum.Inclusive))
+        cumulative = Cum.Inclusive),
+    longCols = Set("event_type_num_unique_over_user_id",
+      "event_type_inclusive_cum_num_unique_over_user_id"))
+  // count(DISTINCT) ignores NULLs while the engine counts NULL as a value (Polars
+  // n_unique), hence the max(IS NULL) term; ::BIGINT because DuckDB's sum(INTEGER)
+  // is HUGEINT and the gate hashes typed values.
   private val qNumUniqueSql =
     "WITH b AS (SELECT event_id, user_id, ts, event_type, " +
       "CASE WHEN row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1 " +
       "THEN 1 ELSE 0 END AS ifd FROM events) " +
-      "SELECT event_id, count(DISTINCT event_type) OVER (PARTITION BY user_id) " +
+      "SELECT event_id, (count(DISTINCT event_type) OVER (PARTITION BY user_id) " +
+      "+ max(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) OVER (PARTITION BY user_id))::BIGINT " +
       "AS event_type_num_unique_over_user_id, " +
-      "sum(ifd) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
-      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+      "(sum(ifd) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT " +
       "AS event_type_inclusive_cum_num_unique_over_user_id FROM b ORDER BY event_id"
 
   private val qEntropy = eventFeatures(Seq("event_type_by_user_id_entropy"),
@@ -314,36 +328,40 @@ object Queries {
 
   private val qSessionize: (SparkSession, String) => DataFrame = (spark, dir) => {
     val events = spark.read.parquet(s"$dir/events.parquet").select("event_id", "ts", "user_id")
-    graft.web.Sessionize.withSessionIds(events, Seq("user_id"), "ts", 3600L)
+    graft.web.Sessionize.withSessionIds(events, Seq("user_id"), "ts", 3600L,
+        orderBy = eventOrder)
       .select(col("event_id"), col("session_id"), col("session_event_idx"), col("session_gap_seconds"))
       .orderBy("event_id")
   }
+  // (ts, event_id) tie-break in every window so duplicate timestamps stay
+  // deterministic; session_id's sum(INTEGER) is HUGEINT in DuckDB → ::BIGINT
   private val qSessionizeSql =
     "WITH g AS (SELECT event_id, user_id, ts, " +
       "floor(epoch(ts))::BIGINT - floor(epoch(lag(ts, 1) OVER w))::BIGINT AS session_gap_seconds, " +
       "CASE WHEN floor(epoch(ts))::BIGINT - floor(epoch(lag(ts, 1) OVER w))::BIGINT IS NULL " +
       "OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts, 1) OVER w))::BIGINT > 3600 THEN 1 ELSE 0 END AS is_new " +
-      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
-      "s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts " +
-      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id FROM g) " +
+      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      "s AS (SELECT *, (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)::BIGINT AS session_id FROM g) " +
       "SELECT event_id, session_id, " +
-      "row_number() OVER (PARTITION BY user_id, session_id ORDER BY ts) - 1 AS session_event_idx, " +
+      "(row_number() OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) - 1)::BIGINT AS session_event_idx, " +
       "session_gap_seconds FROM s ORDER BY event_id"
 
   private val qSessionStats: (SparkSession, String) => DataFrame = (spark, dir) => {
     val events = spark.read.parquet(s"$dir/events.parquet").select("event_id", "ts", "user_id")
-    graft.web.Sessionize.sessionStats(events, Seq("user_id"), "ts", 3600L)
+    graft.web.Sessionize.sessionStats(events, Seq("user_id"), "ts", 3600L,
+        orderBy = eventOrder)
       .select(col("user_id"), col("session_id"), col("session_num_events"),
         col("session_duration_seconds"))
       .orderBy("user_id", "session_id")
   }
   private val qSessionStatsSql =
     "WITH g AS (SELECT user_id, ts, CASE WHEN floor(epoch(ts))::BIGINT - floor(epoch(lag(ts, 1) " +
-      "OVER (PARTITION BY user_id ORDER BY ts)))::BIGINT IS NULL OR " +
-      "floor(epoch(ts))::BIGINT - floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts)))::BIGINT > 3600 " +
-      "THEN 1 ELSE 0 END AS is_new FROM events), " +
-      "s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts " +
-      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id FROM g) " +
+      "OVER (PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT IS NULL OR " +
+      "floor(epoch(ts))::BIGINT - floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT > 3600 " +
+      "THEN 1 ELSE 0 END AS is_new, event_id FROM events), " +
+      "s AS (SELECT *, (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)::BIGINT AS session_id FROM g) " +
       "SELECT user_id, session_id, count(*) AS session_num_events, " +
       "max(floor(epoch(ts))::BIGINT) - min(floor(epoch(ts))::BIGINT) AS session_duration_seconds " +
       "FROM s GROUP BY 1, 2 ORDER BY 1, 2"

@@ -51,41 +51,66 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val sig = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("__sig", minhashSignature(col(textCol), shingleSize, numHashes))
-    val banded = sig.select(col("id"), col("text"),
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // the banding shuffle carries ONLY (id, band, bucket) — at corpus scale the text
+    // payload would dominate the explode(×bands) exchange; text re-attaches by id
+    // below, strictly on the (small) candidate set
+    val sig = docs.select(col("id"),
+      minhashSignature(col("text"), shingleSize, numHashes).as("__sig"))
+    val banded = sig.select(col("id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(concat_ws(",", (0 until rows).map(r => element_at(col("__sig"), b * rows + r + 1)): _*))
       }: _*)).as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"), col("id").as("idA"), col("text").as("textA"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("idB"), col("text").as("textB"))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("idA"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("idB"))
     val candidates = l.join(r, Seq("band", "bucket"))
       .where(col("idA") < col("idB"))
-      .select("idA", "idB", "textA", "textB").distinct()
+      .select("idA", "idB").distinct()
+    // exact-verify: join text back by id. AQE broadcasts the candidate side when it is
+    // small (the common case), so the corpus text is never shuffled here either.
     candidates
+      .join(docs.select(col("id").as("idA"), col("text").as("textA")), "idA")
+      .join(docs.select(col("id").as("idB"), col("text").as("textB")), "idB")
       .withColumn("jaccard", textfns.ngramJaccardSim(col("textA"), col("textB"), shingleSize))
       .where(col("jaccard") >= threshold)
       .select("idA", "idB", "jaccard")
   }
 
-  /** SimHash near-dup pairs: 64-bit simhash, bucketed on each of four 16-bit blocks
-    * (any pair within `maxHamming` ≤ 16 must agree on at least one block when
-    * maxHamming ≤ 3 by pigeonhole), verified with bit_count(xor).
+  /** SimHash near-dup pairs via multi-block pigeonhole bucketing (the HmSearch /
+    * multi-index Hamming scheme, Manku et al. WWW'07 §4): the 64-bit simhash splits
+    * into `blocks` equal blocks; `maxHamming` differing bits can touch at most
+    * `maxHamming` blocks, so any qualifying pair agrees EXACTLY on some combination of
+    * `blocks - maxHamming` blocks. Each combination's concatenated block values is a
+    * bucket key — `(blocks-maxHamming) · (64/blocks)` bits wide.
+    *
+    * Bucket-key width is the scale dial: `blocks=4, maxHamming=3` keys on single
+    * 16-bit blocks (≤65k buckets — fine to ~10⁷ docs); `blocks=8` keys on C(8,5)=56
+    * combinations of 40 bits (~10¹² key space — the ≥10⁹-doc setting). The hamming
+    * verify runs BEFORE distinct so the dedup shuffle only carries surviving pairs.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, blocks: Int = 4): DataFrame = {
+    require(64 % blocks == 0 && blocks > maxHamming,
+      s"need 64 % blocks == 0 and blocks > maxHamming (got blocks=$blocks, maxHamming=$maxHamming)")
+    val width = 64 / blocks
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    def blockVal(b: Int) = shiftright(col("sim"), b * width).bitwiseAND(lit(mask))
+    val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
     val sh = df.select(col(idCol).as("id"), hashfns.simhash64(col(textCol)).as("sim"))
-    val blocks = sh.select(col("id"), col("sim"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("block", "blockVal")))
-    val l = blocks.select(col("block"), col("blockVal"), col("id").as("idA"), col("sim").as("simA"))
-    val r = blocks.select(col("block"), col("blockVal"), col("id").as("idB"), col("sim").as("simB"))
-    l.join(r, Seq("block", "blockVal"))
+    // one bucket key per block combination: chosen block values packed into a long
+    // ((blocks-maxHamming)·width = 64 − maxHamming·width bits — always fits)
+    val keyed = sh.select(col("id"), col("sim"),
+      posexplode(array(combos.map(c =>
+        c.map(blockVal).reduce((a, b) => shiftleft(a, width).bitwiseOR(b))): _*))
+        .as(Seq("combo", "bucket")))
+    val l = keyed.select(col("combo"), col("bucket"), col("id").as("idA"), col("sim").as("simA"))
+    val r = keyed.select(col("combo"), col("bucket"), col("id").as("idB"), col("sim").as("simB"))
+    l.join(r, Seq("combo", "bucket"))
       .where(col("idA") < col("idB"))
       .select(col("idA"), col("idB"),
-        bit_count(col("simA").bitwiseXOR(col("simB"))).as("hamming"))
-      .distinct()
+        bit_count(col("simA").bitwiseXOR(col("simB"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Character n-gram jaccard similarity of two text columns (exact, per pair). */

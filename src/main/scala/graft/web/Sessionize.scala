@@ -17,6 +17,10 @@ object Sessionize {
 
   /** Adds `{prefix}id` (0-based per key), `{prefix}event_idx` (0-based within
     * session), and `{prefix}gap_seconds` (delta to previous event, null on first).
+    *
+    * `orderBy` defaults to the timestamp column alone; with duplicate (key, ts) rows
+    * that makes gap/idx assignment nondeterministic — callers should pass an explicit
+    * unique tie-break (e.g. `Seq(tsCol, idCol)`), as every gate query does.
     */
   def withSessionIds(df: DataFrame, keys: Seq[String], tsCol: String, gapSeconds: Long,
       prefix: String = "session_", orderBy: Seq[String] = Nil): DataFrame = {
@@ -35,7 +39,8 @@ object Sessionize {
       .withColumn(s"${prefix}gap_seconds", delta)
     d.withColumn(s"${prefix}id", sum(col("__new")).over(run) - 1)
       .withColumn(s"${prefix}event_idx",
-        col("__rn") - last(when(col("__new") === 1, col("__rn")), ignoreNulls = true).over(run))
+        (col("__rn") - last(when(col("__new") === 1, col("__rn")), ignoreNulls = true).over(run))
+          .cast("long"))
       .drop("__rn", "__new")
   }
 
