@@ -56,17 +56,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case e: Throwable => // a broken query must be visible in the JSON, not a timing
+          errors += name
+          System.err.println(s"[bench] $name FAILED: $e")
+          -1.0
+      }
+      name -> secs
     }
     headline(spark, headlineUrls) // untimed warmup: JIT + codegen (measured 5-8x effect)
     val (hRows, hRate) = headline(spark, headlineUrls)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+    val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir",""" +
       s""""headline_rows":$hRows,"headline_rows_per_sec":${hRate.toLong},""" +
       s""""headline_urls":$headlineUrls,"cpus":$cpus}""")
     spark.stop()

@@ -242,6 +242,39 @@ object DataQueries {
       "FROM d a JOIN d b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id " +
       "ORDER BY idA, idB"
 
+  /** Text-similarity family gate over consecutive-doc 40-char prefixes. Only the
+    * implementation-unambiguous members are oracle-checked: plain Levenshtein
+    * similarity and bigram-set Jaccard. OSA/Jaro/Jaro-Winkler diverge between engines
+    * on greedy-match/transposition tie-breaks (DuckDB's jaro disagrees with the
+    * polars-ds semantics the engine reproduces on ~3% of random strings — measured),
+    * so those stay golden-tested against polars-ds values in TextSpec.
+    */
+  private val qTextSim: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import graft.functions.textfns
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("t"))
+    val nxt = d.select((col("doc_id") - 1).as("doc_id"), col("t").as("t2"))
+    d.join(nxt, "doc_id")
+      .select(col("doc_id"),
+        r6(textfns.levenshteinSim(col("t"), col("t2"))).as("lev_sim"),
+        r6(textfns.ngramJaccardSim(col("t"), col("t2"), 2)).as("jaccard2"))
+      .orderBy("doc_id")
+  }
+  private val qTextSimSql = {
+    val grams = (s: String) =>
+      s"list_distinct(list_transform(generate_series(1, greatest(length($s) - 1, 0)), r -> substr($s, r, 2)))"
+    "WITH d AS (SELECT doc_id, substr(text, 1, 40) AS t FROM documents), " +
+      "p AS (SELECT a.doc_id, a.t AS t1, b.t AS t2 FROM d a JOIN d b ON b.doc_id = a.doc_id + 1), " +
+      "g AS (SELECT doc_id, t1, t2, " +
+      s"len(list_intersect(${grams("t1")}, ${grams("t2")}))::DOUBLE AS gi, " +
+      s"len(${grams("t1")})::DOUBLE AS ga, len(${grams("t2")})::DOUBLE AS gb FROM p), " +
+      "r AS (SELECT doc_id, " +
+      "1.0 - levenshtein(t1, t2)::DOUBLE / greatest(length(t1), length(t2)) AS lev_sim, " +
+      "gi / (ga + gb - gi) AS jaccard2 FROM g) " +
+      s"SELECT doc_id, ${Seq("lev_sim", "jaccard2").map(n => s"${r6sql(n)} AS $n").mkString(", ")} " +
+      "FROM r ORDER BY doc_id"
+  }
+
   // ----------------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -253,7 +286,8 @@ object DataQueries {
     "q_quality" -> qQuality,
     "q_langid" -> qLangId,
     "q_fingerprints" -> qFingerprints,
-    "q_simhash_pairs" -> qSimhashPairs)
+    "q_simhash_pairs" -> qSimhashPairs,
+    "q_text_sim" -> qTextSim)
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
@@ -264,5 +298,6 @@ object DataQueries {
     "q_quality" -> qQualitySql,
     "q_langid" -> qLangIdSql,
     "q_fingerprints" -> qFingerprintsSql,
-    "q_simhash_pairs" -> qSimhashPairsSql)
+    "q_simhash_pairs" -> qSimhashPairsSql,
+    "q_text_sim" -> qTextSimSql)
 }

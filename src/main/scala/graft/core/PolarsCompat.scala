@@ -19,12 +19,16 @@ object PolarsCompat {
   val PosInf: Column = lit(Double.PositiveInfinity)
   val NegInf: Column = lit(Double.NegativeInfinity)
 
-  /** IEEE-754 division: 0/0 → NaN, x/0 → ±Inf, else l/r. Inputs cast to double. */
+  /** IEEE-754 division: 0/0 → NaN, x/0 → ±Inf, else l/r. Inputs cast to double.
+    * The zero divisor keeps its sign (x / -0.0 → ∓Inf); signum can't see it
+    * (signum(-0.0) = 0), so the sign comes from the string form ("-0.0").
+    */
   def ieeeDiv(lRaw: Column, rRaw: Column): Column = {
     val l = lRaw.cast("double")
     val r = rRaw.cast("double")
+    val divisorSign = when(r.cast("string").startsWith("-"), -1.0).otherwise(1.0)
     when(isnan(l) || isnan(r), NaN)
-      .when(r === 0.0, when(l === 0.0, NaN).otherwise(signum(l) * PosInf))
+      .when(r === 0.0, when(l === 0.0, NaN).otherwise(signum(l) * divisorSign * PosInf))
       .otherwise(l / r)
   }
 

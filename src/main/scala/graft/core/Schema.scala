@@ -103,6 +103,10 @@ object ColumnSelection {
   final case class ByRole(r: ColRole) extends ColumnSelection
   final case class BySelector(sel: ColumnSelector) extends ColumnSelection
   final case class Many(items: Seq[ColumnSelection]) extends ColumnSelection
+  /** Unordered selection: resolves like [[Many]] but sorted by column name for
+    * determinism — reference schema.py:119-122 sorts `set` subsets the same way.
+    */
+  final case class ManySet(items: Set[ColumnSelection]) extends ColumnSelection
 
   import scala.language.implicitConversions
   implicit def fromName(n: String): ColumnSelection = ByName(n)
@@ -111,6 +115,8 @@ object ColumnSelection {
   implicit def fromRole(r: ColRole): ColumnSelection = ByRole(r)
   implicit def fromSelector(s: ColumnSelector): ColumnSelection = BySelector(s)
   implicit def fromNames(ns: Seq[String]): ColumnSelection = Many(ns.map(ByName))
+  implicit def fromNameSet(ns: Set[String]): ColumnSelection =
+    ManySet(ns.map(n => ByName(n): ColumnSelection))
   implicit def fromTypes(ts: Seq[ColType]): ColumnSelection = Many(ts.map(ByType))
   implicit def fromSpecs(ss: Seq[ColumnSpec])(implicit d: DummyImplicit): ColumnSelection =
     Many(ss.map(BySpec))
@@ -150,6 +156,8 @@ final case class FeatureSchema(columns: Vector[ColumnSpec]) {
     case ColumnSelection.ByRole(r)     => columns.filter(_.role == r)
     case ColumnSelection.BySelector(p) => columns.filter(p.matches)
     case ColumnSelection.Many(items)   => items.toVector.flatMap(select)
+    case ColumnSelection.ManySet(items) =>
+      items.toVector.flatMap(select).sortBy(_.name)
   }
 }
 

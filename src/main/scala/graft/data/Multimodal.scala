@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
   * metadata, processed in partition-batched passes (the Scala analogue of
   * `mapInPandas` — one iterator per partition, batch-shaped work inside).
   *
-  * The actual media codecs are NOT available in this environment, so the decode step
-  * is a clearly-marked deterministic STUB (`FakeCodec`): it fabricates plausible
-  * metadata/pixels from the bytes' hash. Everything around it — schema, typed Dataset
-  * encoders, partition-batched execution, output shape — is real and tested; swapping
-  * `FakeCodec` for a real decoder is a one-function change.
+  * Images decode for real via `javax.imageio` (PNG/JPEG/GIF/BMP — part of the JDK, no
+  * extra dependency). Audio/video codecs are NOT available in this environment, so
+  * those decode steps are a clearly-marked deterministic STUB (`FakeCodec`) that also
+  * serves as the fallback for undecodable image bytes; everything around it — schema,
+  * typed Dataset encoders, partition-batched execution, output shape — is real and
+  * tested.
   */
 object Multimodal {
 
@@ -48,6 +49,48 @@ object Multimodal {
     }
   }
 
+  /** Real image codec on `javax.imageio` (JDK-bundled). Returns None when the bytes
+    * are not a decodable image, letting callers fall back (crawled media is dirty —
+    * undecodable payloads are the norm, not the exception).
+    */
+  object ImageIoCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    def decodeImage(id: Long, bytes: Array[Byte]): Option[DecodedImage] =
+      Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y) // Rec.601 luma over sRGB
+            sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(id, w, h, img.getColorModel.getNumComponents,
+          sum / (w.toLong * h) / 255.0)
+      }
+
+    /** Bilinear resize, re-encoded as PNG thumbnail bytes. */
+    def resizeToPng(id: Long, bytes: Array[Byte], w: Int, h: Int): Option[ResizedImage] =
+      Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { src =>
+        val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(dst, "png", bos)
+        ResizedImage(id, w, h, bos.toByteArray)
+      }
+  }
+
   /** Synthesize a deterministic media table from the documents table (binary payload
     * derived from text bytes) — stands in for real crawled media.
     */
@@ -61,15 +104,18 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** Decode pass: partition-batched (mapPartitions keeps per-partition setup — a real
-    * codec would init once per partition here, like mapInPandas batch init).
+  /** Decode pass: partition-batched (mapPartitions keeps per-partition setup, like
+    * mapInPandas batch init). Real `javax.imageio` decode when the bytes are a
+    * readable image; deterministic FakeCodec fallback otherwise so dirty crawled
+    * payloads never kill the job.
     */
   def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.kind == "image").mapPartitions { it =>
-      // per-partition codec init would go here
-      it.map(m => FakeCodec.decodeImage(m.doc_id, m.bytes))
+      // ImageIO scans its reader SPI registry once per JVM; nothing else to init
+      it.map(m => ImageIoCodec.decodeImage(m.doc_id, m.bytes)
+        .getOrElse(FakeCodec.decodeImage(m.doc_id, m.bytes)))
     }
   }
 
@@ -77,6 +123,16 @@ object Multimodal {
     val spark = decoded.sparkSession
     import spark.implicits._
     decoded.mapPartitions(_.map(d => FakeCodec.resize(d, w, h)))
+  }
+
+  /** Real decode+resize over raw media bytes (PNG thumbnails); rows whose payload is
+    * not a decodable image are dropped.
+    */
+  def resizeImageBytes(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "image").mapPartitions(_.flatMap(m =>
+      ImageIoCodec.resizeToPng(m.doc_id, m.bytes, w, h)))
   }
 
   def sampleVideoFrames(media: Dataset[MediaRow], every: Int = 8, max: Int = 4): Dataset[SampledFrames] = {

@@ -286,6 +286,15 @@ object textfns {
   private def col(ex: Expression): Column = ColumnBridge.column(ex)
 
   def damerauLevenshteinSim(l: Column, r: Column): Column = col(DamerauLevenshteinSimilarity(e(l), e(r)))
+  /** Plain Levenshtein similarity 1 − dist/max(len) ("" vs "" → 1). Composes Spark's
+    * codegen'd builtin — unlike OSA/Jaro, plain edit distance is implementation-
+    * unambiguous, so this is the cross-engine-checkable member of the family.
+    */
+  def levenshteinSim(l: Column, r: Column): Column = {
+    import org.apache.spark.sql.functions.{greatest, length, levenshtein, lit, when}
+    val mx = greatest(length(l), length(r))
+    when(mx === 0, 1.0).otherwise(lit(1.0) - levenshtein(l, r).cast("double") / mx)
+  }
   def jaroSim(l: Column, r: Column): Column = col(JaroSimilarity(e(l), e(r)))
   def jaroWinklerSim(l: Column, r: Column, weight: Double = 0.1): Column =
     col(JaroWinklerSimilarity(e(l), e(r), weight))

@@ -359,7 +359,13 @@ final class Pipeline private (
 
     val rolled: Vector[AggregatingTransformer] = (indexCol, timeWindows) match {
       case (Some(idx), ws) if ws.nonEmpty =>
-        base.flatMap(inner => ws.map(w => RollingWrapper(inner, idx, w)))
+        // an invalid (null/empty) window entry keeps the UNWRAPPED variant alongside
+        // the valid rollings — reference pipeline.py:562-586 (_get_rolling_transformers),
+        // same rule the over-combination branch below applies to empty combos
+        val valid = ws.filter(w => w != null && w.nonEmpty)
+        val keepPlain = valid.size != ws.size
+        (if (keepPlain) base else Vector.empty) ++
+          base.flatMap(inner => valid.map(w => RollingWrapper(inner, idx, w)))
       case _ => base
     }
 

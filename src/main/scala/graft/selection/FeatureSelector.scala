@@ -97,39 +97,53 @@ object FeatureSelector {
       Seq(avg(d).as(s"${f}_mean"), var_samp(d).as(s"${f}_var"))
     } :+ count(lit(1)).as("cnt")
     val byClass: Map[Boolean, Row] =
-      df.groupBy(lbl.as("__lbl")).agg(aggs.head, aggs.tail: _*)
+      df.where(lbl.isNotNull).groupBy(lbl.as("__lbl")).agg(aggs.head, aggs.tail: _*)
         .collect().map(r => r.getBoolean(0) -> r).toMap
-    val (t, fRow) = (byClass(true), byClass(false))
-    def get(r: Row, name: String): Double = {
-      val i = r.fieldIndex(name)
-      if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
-    }
-    val nT = t.getLong(t.fieldIndex("cnt")).toDouble
-    val nF = fRow.getLong(fRow.fieldIndex("cnt")).toDouble
-    features.map { f =>
-      val meanDiff = math.abs(get(t, s"${f}_mean") - get(fRow, s"${f}_mean"))
-      val denom = math.sqrt(get(t, s"${f}_var") / nT + get(fRow, s"${f}_var") / nF)
-      val stat = meanDiff / denom
-      f -> (if (stat.isNaN) 0.0 else stat)
+    // single-class (or empty) input: the statistic is undefined → 0, matching the
+    // reference's NaN→0 fill rather than throwing
+    (byClass.get(true), byClass.get(false)) match {
+      case (Some(t), Some(fRow)) =>
+        def get(r: Row, name: String): Double = {
+          val i = r.fieldIndex(name)
+          if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
+        }
+        val nT = t.getLong(t.fieldIndex("cnt")).toDouble
+        val nF = fRow.getLong(fRow.fieldIndex("cnt")).toDouble
+        features.map { f =>
+          val meanDiff = math.abs(get(t, s"${f}_mean") - get(fRow, s"${f}_mean"))
+          val denom = math.sqrt(get(t, s"${f}_var") / nT + get(fRow, s"${f}_var") / nF)
+          val stat = meanDiff / denom
+          f -> (if (stat.isNaN) 0.0 else stat)
+        }
+      case _ => features.map(_ -> 0.0)
     }
   }
 
-  /** Pearson χ² statistic from the (feature, label) contingency built in one
-    * groupBy pass per feature batch.
+  /** Pearson χ² statistic for EVERY feature from ONE distributed pass: features melt
+    * to (feature, value, label) via explode, a single groupBy builds all the
+    * contingencies at once, and the per-feature χ² folds the (small) collected
+    * result — N features cost one Spark job, not N.
     */
   private def chiSquared(df: DataFrame, features: Seq[String], label: String): Seq[(String, Double)] = {
+    val fv = explode(array(features.map(f =>
+      struct(lit(f).as("f"), col(f).cast("string").as("v"))): _*))
+    val ct = df.select(col(label).cast("string").as("l"), fv.as("fv"))
+      .groupBy(col("fv.f").as("f"), col("fv.v").as("v"), col("l"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    val byFeature = ct.groupBy(_.getString(0))
     features.map { f =>
-      val ct = df.groupBy(col(f).cast("string").as("f"), col(label).cast("string").as("l"))
-        .agg(count(lit(1)).as("n")).collect()
-      val total = ct.map(_.getLong(2)).sum.toDouble
-      val rowTot = ct.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum.toDouble).toMap
-      val colTot = ct.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum.toDouble).toMap
+      val cells = byFeature.getOrElse(f, Array.empty)
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3).toDouble))
+      val total = cells.map(_._3).sum
+      val rowTot = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val colTot = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val obs = cells.map(c => (c._1, c._2) -> c._3).toMap
       var chi2 = 0.0
-      for (fv <- rowTot.keys; lv <- colTot.keys) {
-        val obs = ct.find(r => r.getString(0) == fv && r.getString(1) == lv)
-          .map(_.getLong(2).toDouble).getOrElse(0.0)
-        val exp = rowTot(fv) * colTot(lv) / total
-        if (exp > 0) chi2 += (obs - exp) * (obs - exp) / exp
+      for (fvl <- rowTot.keys; lv <- colTot.keys) {
+        val o = obs.getOrElse((fvl, lv), 0.0)
+        val exp = rowTot(fvl) * colTot(lv) / total
+        if (exp > 0) chi2 += (o - exp) * (o - exp) / exp
       }
       f -> chi2
     }

@@ -78,12 +78,24 @@ object Checkpoint {
       .parquet(s"$dir/data")
     val wall = (System.nanoTime() - t0) / 1000000L
 
-    // per-partition lineage from the data just written
-    val counts = spark.read.parquet(s"$dir/data")
-      .groupBy(col(partitionCol).cast("string").as("v")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val newParts = counts.keySet -- done.keySet
-    val commits = newParts.toSeq.sorted.map(v => PartitionCommit(v, counts(v), wall))
+    // per-partition lineage from ONLY the newly written partition directories — the
+    // committed table is never re-scanned on commit (at 100 TB a full-table recount
+    // per checkpoint would dominate the job)
+    val doneDirs = done.keySet.map(v =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v))
+    val prefix = s"$partitionCol="
+    val newDirs = Files.list(Paths.get(dir, "data")).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(prefix))
+      .map(_.getFileName.toString.stripPrefix(prefix))
+      .filterNot(doneDirs.contains)
+      .toSeq
+    val counts =
+      if (newDirs.isEmpty) Map.empty[String, Long]
+      else spark.read.option("basePath", s"$dir/data")
+        .parquet(newDirs.map(v => s"$dir/data/$prefix$v"): _*)
+        .groupBy(col(partitionCol).cast("string").as("v")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val commits = counts.keySet.toSeq.sorted.map(v => PartitionCommit(v, counts(v), wall))
 
     val snapId = latestSnapshotId(dir) + 1
     val md = manifestDir(dir)

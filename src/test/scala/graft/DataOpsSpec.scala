@@ -167,4 +167,34 @@ class DataOpsSpec extends SparkTestBase {
     val again = Multimodal.decodeImages(media).collect()
     assert(images.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq)
   }
+
+  test("multimodal real decode: generated PNGs yield exact dimensions and luma") {
+    import spark.implicits._
+    // 3 solid-color PNGs rendered in-test: black (luma 0), white (luma 1), pure red
+    def png(id: Long, w: Int, h: Int, rgb: Int): Multimodal.MediaRow = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Multimodal.MediaRow(id, "image", bos.toByteArray)
+    }
+    val media = spark.createDataset(Seq(
+      png(1L, 20, 10, 0x000000), png(2L, 8, 8, 0xFFFFFF), png(3L, 5, 7, 0xFF0000)))
+    val out = Multimodal.decodeImages(media).collect().sortBy(_.doc_id)
+    assert(out.map(d => (d.doc_id, d.width, d.height, d.channels)).toSeq ==
+      Seq((1L, 20, 10, 3), (2L, 8, 8, 3), (3L, 5, 7, 3)))
+    assert(math.abs(out(0).meanLuma - 0.0) < 1e-9)
+    assert(math.abs(out(1).meanLuma - 1.0) < 1e-9)
+    assert(math.abs(out(2).meanLuma - 0.299) < 1e-2) // Rec.601 red weight
+    // real resize: thumbnails decode back at the target size
+    val thumbs = Multimodal.resizeImageBytes(media, 4, 4).collect()
+    assert(thumbs.length == 3)
+    thumbs.foreach { t =>
+      val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(t.thumbnail))
+      assert(back.getWidth == 4 && back.getHeight == 4)
+    }
+    // undecodable payloads (kind=image, garbage bytes) fall back to the stub, not a crash
+    val dirty = spark.createDataset(Seq(Multimodal.MediaRow(9L, "image", Array[Byte](1, 2, 3))))
+    assert(Multimodal.decodeImages(dirty).collect().head.doc_id == 9L)
+  }
 }

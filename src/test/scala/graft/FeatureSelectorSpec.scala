@@ -61,6 +61,32 @@ class FeatureSelectorSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException](FeatureSelector.selectFeatures(report, frac = Some(1.5)))
   }
 
+  test("chi-squared job count does not scale with feature count (one melted pass)") {
+    def jobsFor(features: Seq[String]): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        FeatureSelector.getReport(ds, features, SelectionMethod.ChiSquared)
+        Thread.sleep(300) // listener bus drain
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val one = jobsFor(Seq("x3"))
+    val two = jobsFor(Seq("x3", "z1"))
+    assert(two == one, s"expected the melted pass to cost $one job(s) regardless of features, got $two")
+  }
+
+  test("t-test with a single-class label yields 0 instead of throwing") {
+    val oneClass = GraftDataset(ds.df.where(org.apache.spark.sql.functions.col("y") === true),
+      ds.schema, Seq(Idx))
+    val r = FeatureSelector.getReport(oneClass, Seq("x2", "x4"), SelectionMethod.TTest).toMap
+    assert(r == Map("x2" -> 0.0, "x4" -> 0.0), r)
+  }
+
   test("type gates") {
     assertThrows[IllegalArgumentException] {
       FeatureSelector.getReport(ds, Seq("z2"), SelectionMethod.Correlation)

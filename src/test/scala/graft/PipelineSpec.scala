@@ -68,6 +68,14 @@ class PipelineSpec extends SparkTestBase {
     assert(dedup == skipSelf - "NUMERIC_FEATURE_2_add_NUMERIC_FEATURE")
   }
 
+  test("invalid time-window entry keeps the unwrapped variant (pipeline.py:562-586)") {
+    val ds = basicDataset()
+    val cols = Pipeline(ds)
+      .withCount(timeWindows = Seq(null, "2d"), indexColumnName = Some("DATE_FEATURE"))
+      .toDF().columns.toSet -- ds.df.columns.toSet
+    assert(cols == Set("count", "count_in_the_last_2d"), cols)
+  }
+
   test("index / over columns must be present in schema") {
     val emptyDs = GraftDataset(basicFrame, FeatureSchema(Vector.empty), Seq(Idx))
     val p = Pipeline(emptyDs)

@@ -27,6 +27,11 @@ class SchemaSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](schema.select(ColumnSpec.numeric("ghost")))
   }
 
+  test("set selection resolves sorted by name (reference schema.py:119-122)") {
+    assert(schema.select(Set("t", "n2", "n")) == Vector(num, num2, txt))
+    assert(schema.select(Seq("t", "n2", "n")) == Vector(txt, num2, num)) // seq keeps order
+  }
+
   test("selector boolean algebra") {
     val sel = (ColType.Numeric.asSelector || ColType.Text.asSelector) &&
       !RoleSelector(Set(ColRole.Label))

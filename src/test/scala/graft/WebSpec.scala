@@ -124,6 +124,23 @@ class WebSpec extends SparkTestBase {
     assert(r3.written.isEmpty && r3.skipped.size == 4)
   }
 
+  test("commit recount reads only newly written partitions, never the committed table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt2").toString
+    val df = pages.withColumn("bucket", when(col("url_id") < 270, lit(0L)).otherwise(lit(1L)))
+      .select("url", "warc_ts", "text", "bucket")
+    Checkpoint.resumeWrite(spark, df.where(col("bucket") === 0), "bucket", dir) // ~90% of rows
+    val n = df.count()
+    val l = GraftMetricsListener.attach(spark)
+    val r2 = Checkpoint.resumeWrite(spark, df, "bucket", dir)
+    Thread.sleep(500) // listener bus drain
+    spark.sparkContext.removeSparkListener(l)
+    assert(r2.written.map(_.value) == Seq("1"))
+    // reads = input scan (≤ n) + recount of ONLY bucket 1 (~0.1 n); a full-table
+    // recount on commit would add the committed ~0.9 n again
+    assert(l.totalRecordsRead.sum() < (1.35 * n).toLong,
+      s"commit appears to re-scan committed data: read=${l.totalRecordsRead.sum()} of n=$n")
+  }
+
   test("end-to-end kill/resume of the feature job reproduces the direct run exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_e2e").toString
     // feature table partitioned by month — the realistic resumable layout
