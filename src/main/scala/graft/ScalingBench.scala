@@ -34,6 +34,10 @@ object ScalingBench {
     val withMaster = mode match {
       case "local-cluster" =>
         b.master(s"local-cluster[$units,$execCores,$execMemMb]")
+          // local-cluster's third arg sizes the WORKER; the executor JVM still
+          // defaults to 1g (-Xmx1024M observed in the launch command) — request the
+          // full worker allotment or every sort/aggregate spills
+          .config("spark.executor.memory", s"${execMemMb}m")
           .config("spark.test.home", sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
           // executors are fresh JVMs: they need this build's classes and the JDK17 opens
           .config("spark.executor.extraClassPath", "/root/repo/target/scala-2.13/classes")
@@ -54,10 +58,12 @@ object ScalingBench {
     spark.sparkContext.setLogLevel("WARN")
     try {
       // steady-state: first full-size run pays JIT + codegen warmup; then take the
-      // best of three measured runs (shared-host noise is ±40% run to run — best-of-N
-      // approximates the noise-free sustained rate at each level)
+      // best of N measured runs (shared-host noise is ±40% run to run and one-sided —
+      // neighbors only ever STEAL cycles — so best-of-N approximates the noise-free
+      // sustained rate at each level)
+      val numRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
       Bench.headline(spark, urls)
-      val rates = (1 to 3).map(_ => Bench.headline(spark, urls))
+      val rates = (1 to numRuns).map(_ => Bench.headline(spark, urls))
       val rows = rates.head._1
       val rate = rates.map(_._2).max
       System.err.println(s"[scaling] mode=$mode units=$units rows=$rows rate=${rate.toLong} rows/s " +

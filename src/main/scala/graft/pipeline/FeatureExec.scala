@@ -22,6 +22,11 @@ object FeatureExec {
       if (derived.nonEmpty)
         df = df.withColumns(derived.map(d => d.name -> d.column).toMap)
       if (scalars.nonEmpty)
+        // the aggregate branch re-evaluates the upstream plan, but Catalyst prunes it
+        // to ONLY the scalar input columns — at scale that second pass is a narrow
+        // column scan, much cheaper than persisting the full (wide) upstream would
+        // be. When upstream layers are compute-heavy rather than scan-heavy, callers
+        // opt in via GraftDataset.cache() before building this layer.
         df = df.crossJoin(broadcast(df.groupBy().agg(
           scalars.head.agg.as(scalars.head.name),
           scalars.tail.map(g => g.agg.as(g.name)): _*)))

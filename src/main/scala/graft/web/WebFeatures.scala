@@ -66,9 +66,12 @@ object WebFeatures {
       sessionGapSeconds, orderBy = order)
   }
 
-  /** Backfill: attach the latest page snapshot at-or-before each event's timestamp. */
+  /** Backfill: attach the latest page snapshot at-or-before each event's timestamp.
+    * `slimRight` is off by default — measured slower at this payload width (see
+    * [[AsOfJoin.backward]]); flip it when right rows carry multi-KB payloads.
+    */
   def backfillEvents(events: DataFrame, pages: DataFrame,
-      bucketSeconds: Option[Long] = None): DataFrame = {
+      bucketSeconds: Option[Long] = None, slimRight: Boolean = false): DataFrame = {
     val valueCols = Seq("warc_ts", "text", "lang")
     val paged = pages.select(col("url"), col("warc_ts"),
       col("text"), col("lang"))
@@ -76,7 +79,7 @@ object WebFeatures {
       case Some(b) => AsOfJoin.backwardBucketed(events, paged, Seq("url"), "ts",
         Seq("url"), "warc_ts", valueCols, b)
       case None => AsOfJoin.backward(events, paged, Seq("url"), "ts",
-        Seq("url"), "warc_ts", valueCols)
+        Seq("url"), "warc_ts", valueCols, slimRight = slimRight)
     }
   }
 }

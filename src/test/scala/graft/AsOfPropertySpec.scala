@@ -51,6 +51,10 @@ class AsOfPropertySpec extends SparkTestBase {
 
       val plain = actual(AsOfJoin.backward(leftDf, rightDf, Seq("k"), "ts",
         Seq("k"), "rts", Seq("payload")))
+      val slim = actual(AsOfJoin.backward(leftDf, rightDf, Seq("k"), "ts",
+        Seq("k"), "rts", Seq("payload"), slimRight = true))
+      val slimTol = actual(AsOfJoin.backward(leftDf, rightDf, Seq("k"), "ts",
+        Seq("k"), "rts", Seq("payload"), tolerance = Some(500L), slimRight = true))
       val strictRes = actual(AsOfJoin.backward(leftDf, rightDf, Seq("k"), "ts",
         Seq("k"), "rts", Seq("payload"), strict = true))
       val bucketed = actual(AsOfJoin.backwardBucketed(leftDf, rightDf, Seq("k"), "ts",
@@ -64,6 +68,8 @@ class AsOfPropertySpec extends SparkTestBase {
       val eTol = expected(strict = false, tolerance = Some(500L))
       Prop.all(
         Prop(plain == e) :| "plain mismatch",
+        Prop(slim == e) :| "slim-right mismatch",
+        Prop(slimTol == eTol) :| "slim-right tolerance mismatch",
         Prop(strictRes == eStrict) :| "strict mismatch",
         Prop(bucketed == e) :| "bucketed mismatch",
         Prop(bucketedStrict == eStrict) :| "bucketed-strict mismatch",

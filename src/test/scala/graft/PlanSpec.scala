@@ -95,4 +95,37 @@ class PlanSpec extends SparkTestBase {
     val exchanges = count(p, "Exchange hashpartitioning")
     assert(exchanges <= 1, s"as-of should shuffle once on the key, got $exchanges exchanges")
   }
+
+  test("slim-right as-of keeps wide payloads out of the union sort") {
+    val pages = Pages.generate(spark, 1000, seed = 3L, numPartitions = 4)
+    val events = Pages.events(spark, pages)
+    val df = WebFeatures.backfillEvents(events, pages, slimRight = true)
+    val asofWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.child.output.exists(_.name == "__lrow") => w
+    }
+    assert(asofWindows.nonEmpty, "expected the as-of union window in the plan")
+    asofWindows.foreach { w =>
+      val carried = w.child.output.map(_.name)
+      assert(!carried.contains("text") && !carried.contains("lang"),
+        s"union sort carries page payload: $carried")
+    }
+  }
+
+  test("LSH banding shuffle carries ids only, never document text") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"doc $i " + ("word " * 30))).toDF("doc_id", "text")
+    val out = graft.data.Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 16, bands = 8)
+    val lp = out.queryExecution.optimizedPlan
+    val bandJoins = lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.references.exists(_.name == "band")) => j
+    }
+    assert(bandJoins.nonEmpty, "expected the band-bucket self-join in the plan")
+    bandJoins.foreach { j =>
+      val names = (j.left.output ++ j.right.output).map(_.name)
+      assert(!names.exists(n => n == "text" || n == "textA" || n == "textB"),
+        s"band join carries text: $names")
+    }
+  }
 }

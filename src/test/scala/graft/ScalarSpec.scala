@@ -56,6 +56,16 @@ class ScalarSpec extends SparkTestBase {
       "NUMERIC_FEATURE_divide_BOOL_FEATURE" -> Seq(0.0, Inf, 2.0, Inf, 4.0, Inf)))
   }
 
+  test("IEEE division: zero divisor keeps its sign (x / -0.0 → ∓Inf)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val df = Seq((1.0, 0.0), (1.0, -0.0), (-1.0, -0.0), (0.0, -0.0), (-2.0, 0.0))
+      .toDF("l", "r")
+      .select(graft.core.PolarsCompat.ieeeDiv(col("l"), col("r")).as("q"))
+    assert(df.collect().map(_.getDouble(0)).map(d => if (d.isNaN) "NaN" else d.toString).toSeq ==
+      Seq("Infinity", "-Infinity", "Infinity", "NaN", "-Infinity"))
+  }
+
   test("comparisons golden (incl. lexicographic strings)") {
     val cat = ColumnSpec.ordinal("CATEGORICAL_FEATURE")
     val cat2 = ColumnSpec.nominal("CATEGORICAL_FEATURE_2")
