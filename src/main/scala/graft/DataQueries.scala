@@ -121,6 +121,41 @@ object DataQueries {
       s"SELECT query_id, rank, neighbor_id, ${r6sql("cosine")} AS cosine FROM r " +
       "WHERE rank <= 3 ORDER BY query_id, rank"
 
+  /** IVF with nProbe == nCentroids probes every cell, so the output must equal the
+    * exact brute-force top-k — an exact oracle that still exercises the scale path
+    * (centroid choice, assignment pass, probe join, per-cell ranking).
+    */
+  private val qAnnIvf: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    Ann.ivfTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", "vec_id",
+        k = 3, nCentroids = 8, nProbe = 8)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), r6(col("cosine")).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding near-dup (SRP sketch + exact verify) on planted exact copies. The base
+    * embeddings are near-orthogonal (max natural cosine ≈ 0.51 — measured), so at
+    * threshold 0.999 the expected pair set is exactly the planted copies, which the
+    * oracle recomputes with exact cosine in SQL.
+    */
+  private val qEmbedDup: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val base = spark.read.parquet(s"$dir/embeddings.parquet").select(col("vec_id"), col("embedding"))
+    val withDups = base.unionByName(base.where(col("vec_id") < 50)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    Dedup.embeddingCosinePairs(withDups, "vec_id", "embedding", sketchBits = 16, threshold = 0.999)
+      .select(col("idA"), col("idB"), r6(col("cosine")).as("cosine"))
+      .orderBy("idA", "idB")
+  }
+  private val qEmbedDupSql =
+    "WITH e AS (SELECT vec_id, embedding FROM embeddings " +
+      "UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 50), " +
+      "s AS (SELECT a.vec_id AS idA, b.vec_id AS idB, " +
+      "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
+      "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
+      "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine " +
+      "FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
+      s"SELECT idA, idB, ${r6sql("cosine")} AS cosine FROM s WHERE cosine >= 0.999 ORDER BY idA, idB"
+
   // ------------------------------------------------------------------ text analysis
 
   private val qTokenCount: (SparkSession, String) => DataFrame = (spark, dir) => {
@@ -282,6 +317,8 @@ object DataQueries {
     "q_ngram_pairs" -> qNgramPairs,
     "q_minhash_pairs" -> qMinhashPairs,
     "q_ann_topk" -> qAnnTopK,
+    "q_ann_ivf" -> qAnnIvf,
+    "q_embed_dup" -> qEmbedDup,
     "q_token_count" -> qTokenCount,
     "q_quality" -> qQuality,
     "q_langid" -> qLangId,
@@ -294,6 +331,8 @@ object DataQueries {
     "q_ngram_pairs" -> qNgramPairsSql,
     "q_minhash_pairs" -> qNgramPairsSql, // banding must recover the full exact pair set here
     "q_ann_topk" -> qAnnTopKSql,
+    "q_ann_ivf" -> qAnnTopKSql, // full-probe IVF must equal exact brute force
+    "q_embed_dup" -> qEmbedDupSql,
     "q_token_count" -> qTokenCountSql,
     "q_quality" -> qQualitySql,
     "q_langid" -> qLangIdSql,

@@ -21,6 +21,16 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextKernels {
   def codePoints(s: String): Array[Int] = s.codePoints().toArray
 
+  // UTF8String entry points — called from generated code (top-level Scala objects
+  // emit static forwarders, same pattern as CharClassKernels.count)
+  def dlSimilarityU8(a: UTF8String, b: UTF8String): Double = dlSimilarity(a.toString, b.toString)
+  def jaroSimilarityU8(a: UTF8String, b: UTF8String): Double = jaroSimilarity(a.toString, b.toString)
+  def jaroWinklerU8(a: UTF8String, b: UTF8String, w: Double): Double =
+    jaroWinkler(a.toString, b.toString, w)
+  def ngramJaccardU8(a: UTF8String, b: UTF8String, n: Int): Double =
+    ngramJaccard(a.toString, b.toString, n)
+  def charEntropyU8(s: UTF8String): Double = charEntropy(s.toString)
+
   /** Optimal String Alignment distance (Damerau-Levenshtein with adjacent
     * transpositions, no substring re-edits).
     */
@@ -149,27 +159,42 @@ object TextKernels {
   }
 }
 
-abstract class BinaryStringDoubleExpression extends BinaryExpression with CodegenFallback {
+/** Binary string→double kernels, whole-stage-codegen'd: doGenCode emits a call to the
+  * static UTF8String kernel entry point, so these never break a WSCG span.
+  */
+abstract class BinaryStringDoubleExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
   protected def compute(a: String, b: String): Double
+  /** Java source for the static kernel call; `l`/`r` are UTF8String variables. */
+  protected def genCall(l: String, r: String): String
   override def nullSafeEval(l: Any, r: Any): Any =
     compute(l.asInstanceOf[UTF8String].toString, r.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, (l, r) => genCall(l, r))
 }
 
 case class DamerauLevenshteinSimilarity(left: Expression, right: Expression)
     extends BinaryStringDoubleExpression {
   protected def compute(a: String, b: String): Double = TextKernels.dlSimilarity(a, b)
+  protected def genCall(l: String, r: String): String =
+    s"graft.functions.TextKernels.dlSimilarityU8($l, $r)"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
 case class JaroSimilarity(left: Expression, right: Expression) extends BinaryStringDoubleExpression {
   protected def compute(a: String, b: String): Double = TextKernels.jaroSimilarity(a, b)
+  protected def genCall(l: String, r: String): String =
+    s"graft.functions.TextKernels.jaroSimilarityU8($l, $r)"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
 case class JaroWinklerSimilarity(left: Expression, right: Expression, weight: Double)
     extends BinaryStringDoubleExpression {
   protected def compute(a: String, b: String): Double = TextKernels.jaroWinkler(a, b, weight)
+  protected def genCall(l: String, r: String): String =
+    s"graft.functions.TextKernels.jaroWinklerU8($l, $r, ${weight}D)"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -177,6 +202,8 @@ case class JaroWinklerSimilarity(left: Expression, right: Expression, weight: Do
 case class NgramJaccardSimilarity(left: Expression, right: Expression, n: Int)
     extends BinaryStringDoubleExpression {
   protected def compute(a: String, b: String): Double = TextKernels.ngramJaccard(a, b, n)
+  protected def genCall(l: String, r: String): String =
+    s"graft.functions.TextKernels.ngramJaccardU8($l, $r, $n)"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -273,10 +300,14 @@ object CharClassCount {
     """[^\x00-\x7F]""" -> "non_ascii")
 }
 
-case class CharacterEntropy(child: Expression) extends UnaryExpression with CodegenFallback {
+case class CharacterEntropy(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(v: Any): Any =
     TextKernels.charEntropy(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.charEntropyU8($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 

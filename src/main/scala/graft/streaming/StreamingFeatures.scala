@@ -69,6 +69,44 @@ object StreamingFeatures {
     }
   }
 
+  // ---------------------------------------------------------- streaming as-of backfill
+
+  /** One unified timeline row: a page snapshot (`isPage`) or an event to backfill. */
+  final case class TimelineRow(url: String, ts: Timestamp, isPage: Boolean,
+      text: String, lang: String, value: Double)
+
+  final case class SnapshotState(warcTsMillis: Long, text: String, lang: String)
+
+  final case class BackfilledEvent(url: String, ts: Timestamp, value: Double,
+      warc_ts: Option[Timestamp], text: Option[String], lang: Option[String])
+
+  /** Streaming counterpart of [[graft.web.AsOfJoin.backward]] for the backfill shape:
+    * per-url state carries the LATEST page snapshot seen; each event row emits
+    * enriched with it — the same inclusive as-of contract (a snapshot at exactly the
+    * event's timestamp matches, because pages order before events at equal ts within
+    * a batch). Requires per-key event-time-ordered arrival ACROSS micro-batches (the
+    * usual log-compaction/kafka-partition-by-url setup); within a batch any order is
+    * fine. Batch/stream parity is tested in StreamingSpec.
+    */
+  def backfill(timeline: Dataset[TimelineRow]): Dataset[BackfilledEvent] = {
+    val spark = timeline.sparkSession
+    import spark.implicits._
+    timeline.groupByKey(_.url).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (url: String, rows: Iterator[TimelineRow], state: GroupState[SnapshotState]) =>
+        var s = state.getOption
+        val out = rows.toSeq
+          .sortBy(r => (r.ts.getTime, if (r.isPage) 0 else 1))
+          .flatMap { r =>
+            if (r.isPage) { s = Some(SnapshotState(r.ts.getTime, r.text, r.lang)); None }
+            else Some(BackfilledEvent(url, r.ts, r.value,
+              s.map(st => new Timestamp(st.warcTsMillis)), s.map(_.text), s.map(_.lang)))
+          }
+        s.foreach(state.update)
+        out.iterator
+    }
+  }
+
   /** Watermarked per-url tumbling-window snapshot counts — the streaming analogue of
     * the batch rolling count, with late data dropped past the watermark.
     */

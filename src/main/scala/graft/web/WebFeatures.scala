@@ -66,6 +66,17 @@ object WebFeatures {
       sessionGapSeconds, orderBy = order)
   }
 
+  /** Extract the text payload from a raw `html` BINARY column: UTF-8 decode, take the
+    * body element's contents, strip residual tags. Pure codegen'd column expressions
+    * (decode + regexp), no UDF. On the synthetic page table this reproduces the `text`
+    * column byte-identically — the north rule's per-row invariant, asserted in WebSpec.
+    */
+  def htmlText(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s = decode(html, "UTF-8")
+    val body = regexp_extract(s, "(?s)<body[^>]*>(.*)</body>", 1)
+    regexp_replace(body, "(?s)<[^>]*>", "")
+  }
+
   /** Backfill: attach the latest page snapshot at-or-before each event's timestamp.
     * `slimRight` is off by default — measured slower at this payload width (see
     * [[AsOfJoin.backward]]); flip it when right rows carry multi-KB payloads.

@@ -54,6 +54,48 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming as-of backfill matches the batch as-of join row for row") {
+    import spark.implicits._
+    import graft.streaming.StreamingFeatures.{BackfilledEvent, TimelineRow}
+    val pagesFull = Pages.generate(spark, numUrls = 120, seed = 13L, numPartitions = 2).cache()
+    val pages = pagesFull.select(col("url"), col("warc_ts"), col("text"), col("lang"))
+    val events = Pages.events(spark, pagesFull, seed = 13L)
+
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Double, Any, Any)] =
+      df.select(col("url"), col("ts").cast("long"), col("value"),
+          col("warc_ts").cast("long"), col("text"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) null else r.getLong(3), if (r.isNullAt(4)) null else r.getString(4)))
+        .toSeq.sorted(Ordering.by((t: (String, Long, Double, Any, Any)) =>
+          (t._1, t._2, t._3, String.valueOf(t._4))))
+
+    val batch = canon(WebFeatures.backfillEvents(events, pages))
+
+    val timeline =
+      pages.select(col("url"), col("warc_ts").as("ts"), lit(true).as("isPage"),
+          col("text"), col("lang"), lit(0.0).as("value")).as[TimelineRow].collect() ++
+      events.select(col("url"), col("ts"), lit(false).as("isPage"),
+          lit("").as("text"), lit("").as("lang"), col("value")).as[TimelineRow].collect()
+    // two event-time-ordered micro-batches; pages sort before events at equal ts
+    val ordered = timeline.sortBy(r => (r.ts.getTime, if (r.isPage) 0 else 1))
+    val (first, second) = ordered.splitAt(ordered.length / 2)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[TimelineRow]
+    val query = graft.streaming.StreamingFeatures.backfill(input.toDS())
+      .writeStream.format("memory").queryName("stream_backfill")
+      .outputMode("append").start()
+    try {
+      input.addData(first.toSeq); query.processAllAvailable()
+      input.addData(second.toSeq); query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = canon(spark.table("stream_backfill"))
+    assert(streamed.size == batch.size)
+    assert(streamed == batch)
+  }
+
   test("watermarked windowed counts produce rows and respect the window width") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -87,4 +87,32 @@ class TextSpec extends SparkTestBase {
       "TEXT_FEATURE_3_email_domain" -> Seq("example.com", null, null, null, "co.gov.uk", null),
       "TEXT_FEATURE_3_character_entropy" -> Seq(3.64644, 2.84644, 1.58496, 3.52164, 3.49923, 0.0)))
   }
+
+  test("text/hash kernels compile inside whole-stage codegen (no interpreted fallback)") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.functions.{hashfns, textfns}
+    // fallback=false turns a janino compile failure into a hard error instead of a
+    // silent interpreted path; col-derived strings prevent constant folding
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val s1 = concat(lit("martha "), col("id").cast("string"))
+      val s2 = concat(lit("marhta "), col("id").cast("string"))
+      val df = spark.range(64).select(
+        textfns.damerauLevenshteinSim(s1, s2).as("dl"),
+        textfns.jaroSim(s1, s2).as("jaro"),
+        textfns.jaroWinklerSim(s1, s2).as("jw"),
+        textfns.ngramJaccardSim(s1, s2, 2).as("jac"),
+        textfns.charEntropy(s1).as("ent"),
+        hashfns.simhash64(s1).as("sh"),
+        hashfns.rollingFingerprint(s1).as("fp"),
+        hashfns.minhashSignature(s1, 3, 16).as("sig"))
+      assert(df.count() == 64)
+      // "*(1)" marks the WholeStageCodegen stage in the simple plan string
+      assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"))
+      // sanity: kernel values survive the codegen path
+      val r = df.head
+      assert(r.getDouble(0) > 0.8 && r.getDouble(1) > 0.9)
+      assert(r.getSeq[Long](7).size == 16)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
 }

@@ -99,6 +99,8 @@ class WebSpec extends SparkTestBase {
       decode(col("html"), "UTF-8") =!= concat(lit("<html><head><t>"), col("url_id"),
         lit("</t></head><body>"), col("text"), lit("</body></html>")))
     assert(mismatch.count() == 0)
+    // ...and the extraction OPERATOR reproduces text from the raw bytes (north rule)
+    assert(pages.where(WebFeatures.htmlText(col("html")) =!= col("text")).count() == 0)
   }
 
   test("checkpoint resume recomputes only uncommitted partitions") {
