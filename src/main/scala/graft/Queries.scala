@@ -398,6 +398,25 @@ object Queries {
       "SELECT event_id, CASE WHEN age <= 2592000 THEN floor(epoch(o_orderdate))::BIGINT END AS matched_epoch, " +
       "CASE WHEN age <= 2592000 THEN o_orderkey END AS o_orderkey FROM j ORDER BY event_id"
 
+  /** Keyed range join: every order of the event's user within the trailing 30 days —
+    * the bucketed equality formulation vs DuckDB's native inequality join.
+    */
+  private val qRangeJoin: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val events = spark.read.parquet(s"$dir/events.parquet").select("event_id", "ts", "user_id")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    graft.web.RangeJoin.byKeyAndTime(events, orders, Seq("user_id"), "ts",
+        Seq("o_custkey"), "o_orderdate", beforeSeconds = 30L * 86400, afterSeconds = 0L,
+        valueCols = Seq("o_orderkey"))
+      .select(col("event_id"), col("o_orderkey"))
+      .orderBy("event_id", "o_orderkey")
+  }
+  private val qRangeJoinSql =
+    "SELECT e.event_id, o.o_orderkey FROM events e JOIN orders o ON e.user_id = o.o_custkey " +
+      "AND floor(epoch(o.o_orderdate))::BIGINT " +
+      "BETWEEN floor(epoch(e.ts))::BIGINT - 2592000 AND floor(epoch(e.ts))::BIGINT " +
+      "ORDER BY 1, 2"
+
   /** Inclusive cumulative entity entropy — the incremental identity in both engines. */
   private val qCumEntropy = eventFeatures(Seq("event_type_by_user_id_inclusive_cum_entropy"),
     _.withEntityEntropy("user_id", "event_type", cumulative = Cum.Inclusive),
@@ -469,6 +488,7 @@ object Queries {
     "q_session_stats" -> qSessionStats,
     "q_asof_strict" -> qAsofStrict,
     "q_asof_tolerance" -> qAsofTolerance,
+    "q_range_join" -> qRangeJoin,
     "q_cum_entropy" -> qCumEntropy,
     "q_rolling_pmi" -> qRollingPmi,
     "q_arg_extreme" -> qArgExtreme) ++ DataQueries.all
@@ -497,6 +517,7 @@ object Queries {
     "q_session_stats" -> qSessionStatsSql,
     "q_asof_strict" -> qAsofStrictSql,
     "q_asof_tolerance" -> qAsofToleranceSql,
+    "q_range_join" -> qRangeJoinSql,
     "q_cum_entropy" -> qCumEntropySql,
     "q_rolling_pmi" -> qRollingPmiSql,
     "q_arg_extreme" -> qArgExtremeSql) ++ DataQueries.oracles

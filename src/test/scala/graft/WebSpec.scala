@@ -60,6 +60,28 @@ class WebSpec extends SparkTestBase {
     checkAsOf(r, strict = false, tolerance = Some(tol))
   }
 
+  test("bucketed range join equals the native non-equi join (both window shapes)") {
+    val l = events.select(col("url"), col("ts"), col("value"))
+    val r = pages.select(col("url").as("purl"), col("warc_ts"), col("lang"))
+    def native(before: Long, after: Long) =
+      l.join(r, l("url") === r("purl") &&
+          r("warc_ts").cast("long") >= l("ts").cast("long") - before &&
+          r("warc_ts").cast("long") <= l("ts").cast("long") + after)
+        .select(col("url"), col("ts").cast("long").as("ts"),
+          col("warc_ts").cast("long").as("wts"))
+    def bucketed(before: Long, after: Long) =
+      RangeJoin.byKeyAndTime(l, r, Seq("url"), "ts", Seq("purl"), "warc_ts",
+          before, after, valueCols = Seq("warc_ts", "lang"))
+        .select(col("url"), col("ts").cast("long").as("ts"),
+          col("warc_ts").cast("long").as("wts"))
+    for ((b, a) <- Seq((3L * 86400, 0L), (86400L, 2L * 86400))) {
+      val exp = native(b, a); val got = bucketed(b, a)
+      assert(got.count() == exp.count(), s"count mismatch for ($b,$a)")
+      assert(got.exceptAll(exp).count() == 0 && exp.exceptAll(got).count() == 0,
+        s"row mismatch for ($b,$a)")
+    }
+  }
+
   test("sessionization invariants") {
     val gap = 5 * 86400L
     val s = Sessionize.withSessionIds(pages, Seq("url"), "warc_ts", gap)
