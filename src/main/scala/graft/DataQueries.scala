@@ -286,8 +286,11 @@ object DataQueries {
     */
   private val qTextSim: (SparkSession, String) => DataFrame = (spark, dir) => {
     import graft.functions.textfns
+    // length >= 2 keeps both engines off the degenerate cases (the engine defines
+    // 0/0 similarities as 1.0; the naive SQL would divide by zero)
     val d = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), substring(col("text"), 1, 40).as("t"))
+      .where(length(col("t")) >= 2)
     val nxt = d.select((col("doc_id") - 1).as("doc_id"), col("t").as("t2"))
     d.join(nxt, "doc_id")
       .select(col("doc_id"),
@@ -298,7 +301,7 @@ object DataQueries {
   private val qTextSimSql = {
     val grams = (s: String) =>
       s"list_distinct(list_transform(generate_series(1, greatest(length($s) - 1, 0)), r -> substr($s, r, 2)))"
-    "WITH d AS (SELECT doc_id, substr(text, 1, 40) AS t FROM documents), " +
+    "WITH d AS (SELECT doc_id, substr(text, 1, 40) AS t FROM documents WHERE length(substr(text, 1, 40)) >= 2), " +
       "p AS (SELECT a.doc_id, a.t AS t1, b.t AS t2 FROM d a JOIN d b ON b.doc_id = a.doc_id + 1), " +
       "g AS (SELECT doc_id, t1, t2, " +
       s"len(list_intersect(${grams("t1")}, ${grams("t2")}))::DOUBLE AS gi, " +

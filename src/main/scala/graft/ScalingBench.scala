@@ -62,6 +62,7 @@ object ScalingBench {
       // neighbors only ever STEAL cycles — so best-of-N approximates the noise-free
       // sustained rate at each level)
       val numRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+      require(numRuns >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $numRuns")
       Bench.headline(spark, urls)
       val rates = (1 to numRuns).map(_ => Bench.headline(spark, urls))
       val rows = rates.head._1

@@ -58,19 +58,25 @@ object Multimodal {
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
     import javax.imageio.ImageIO
 
+    /** Decoders THROW (not just return null) on corrupt bodies behind a valid magic —
+      * crawled media does this constantly, so every failure mode maps to None.
+      */
+    private def readImage(bytes: Array[Byte]): Option[BufferedImage] =
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+
     def decodeImage(id: Long, bytes: Array[Byte]): Option[DecodedImage] =
-      Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+      readImage(bytes).map { img =>
         val w = img.getWidth; val h = img.getHeight
+        // one bulk conversion into an int[]; per-pixel getRGB(x, y) pays a
+        // ColorModel conversion per call (10-50x slower on megapixel images)
+        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
         var sum = 0.0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y) // Rec.601 luma over sRGB
-            sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < rgb.length) {
+          val p = rgb(i) // Rec.601 luma over sRGB
+          sum += 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) + 0.114 * (p & 0xFF)
+          i += 1
         }
         DecodedImage(id, w, h, img.getColorModel.getNumComponents,
           sum / (w.toLong * h) / 255.0)
@@ -78,7 +84,7 @@ object Multimodal {
 
     /** Bilinear resize, re-encoded as PNG thumbnail bytes. */
     def resizeToPng(id: Long, bytes: Array[Byte], w: Int, h: Int): Option[ResizedImage] =
-      Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { src =>
+      readImage(bytes).map { src =>
         val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
         val g = dst.createGraphics()
         g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,

@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   *    a right row within B, or the carry = latest right row before B's start.
   *
   * No reference counterpart (the reference has no joins); semantics follow the
-  * standard as-of contract (DuckDB ASOF JOIN is the test oracle).
+  * standard as-of contract (DuckDB ASOF JOIN is the test oracle). One deliberate
+  * deviation from SQL equality joins: NULL keys group together (window-partition
+  * semantics), in every variant — enforced by AsOfPropertySpec's null-key generator.
   */
 object AsOfJoin {
 
@@ -131,8 +133,14 @@ object AsOfJoin {
     val leftBuckets = leftPacked.select(keyNames.map(col) :+ col("__bucket"): _*).distinct()
     val allBuckets = lastPerBucket.select(keyNames.map(col) :+ col("__bucket"): _*)
       .unionByName(leftBuckets).distinct()
+    // join on a packed struct key: struct equality compares null FIELDS as equal, so
+    // null keys keep their carry — matching the window path, which partitions null
+    // keys into one group (the as-of contract here, unlike SQL equality joins)
+    val lastK = lastPerBucket.select(
+      struct(keyNames.map(col): _*).as("__k"), col("__bucket"), col("__last"))
     val carryAll = allBuckets
-      .join(lastPerBucket, keyNames :+ "__bucket", "left")
+      .withColumn("__k", struct(keyNames.map(col): _*))
+      .join(lastK, Seq("__k", "__bucket"), "left")
       .withColumn("__carryLast", last(col("__last"), ignoreNulls = true).over(
         Window.partitionBy(keyNames.map(col): _*).orderBy(col("__bucket").asc)
           .rowsBetween(Window.unboundedPreceding, -1)))
@@ -181,7 +189,11 @@ object AsOfJoin {
     val rightVals = right.select(
       rightKeys.zip(keyNames).map { case (r, l) => col(r).as(s"__rk_$l") } :+
         col(rightTs).cast("timestamp").as("__rts") :++ valueCols.map(col): _*)
-    val cond = keyNames.map(k => matched(k) === rightVals(s"__rk_$k")).reduce(_ && _) &&
+    // null-safe key equality: the window partitions NULL keys into one group, so the
+    // default path matches them — the re-attach join must too. The timestamp stays
+    // strict ===: a null __mts means "no match" and must not join (right rows with a
+    // null `rightTs` are meaningless for as-of and unsupported in slim mode).
+    val cond = keyNames.map(k => matched(k) <=> rightVals(s"__rk_$k")).reduce(_ && _) &&
       matched("__mts") === rightVals("__rts")
     matched.join(rightVals, cond, "left")
       .select(lCols.map(col) ++ valueCols.map(col): _*)

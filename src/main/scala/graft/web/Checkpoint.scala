@@ -23,13 +23,21 @@ object Checkpoint {
 
   private def manifestDir(dir: String) = Paths.get(dir, "manifest")
 
+  /** Files.list holds a directory handle until closed — materialize and close, or a
+    * long-lived driver committing in a loop leaks one fd per call.
+    */
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toVector finally s.close()
+  }
+
   /** Committed partition values = union of all snapshot files (optionally only up to
     * `asOfSnapshot`, giving Iceberg-style time travel over the commit history).
     */
   def committed(dir: String, asOfSnapshot: Long = Long.MaxValue): Map[String, PartitionCommit] = {
     val md = manifestDir(dir)
     if (!Files.exists(md)) return Map.empty
-    Files.list(md).iterator().asScala
+    listDir(md).iterator
       .filter { p =>
         val n = p.getFileName.toString
         n.startsWith("snapshot-") &&
@@ -55,7 +63,7 @@ object Checkpoint {
   def latestSnapshotId(dir: String): Long = {
     val md = manifestDir(dir)
     if (!Files.exists(md)) return -1L
-    Files.list(md).iterator().asScala
+    listDir(md).iterator
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("snapshot-") => s.stripPrefix("snapshot-").stripSuffix(".json").toLong }
       .foldLeft(-1L)(math.max)
@@ -84,7 +92,7 @@ object Checkpoint {
     val doneDirs = done.keySet.map(v =>
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v))
     val prefix = s"$partitionCol="
-    val newDirs = Files.list(Paths.get(dir, "data")).iterator().asScala
+    val newDirs = listDir(Paths.get(dir, "data")).iterator
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(prefix))
       .map(_.getFileName.toString.stripPrefix(prefix))
       .filterNot(doneDirs.contains)

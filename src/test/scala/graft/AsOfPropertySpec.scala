@@ -12,7 +12,10 @@ import java.sql.Timestamp
   */
 class AsOfPropertySpec extends SparkTestBase {
 
-  private val keyGen = Gen.choose(0, 5).map(i => s"k$i")
+  // includes null keys: the window path groups NULLs into one partition, and the
+  // slim-right re-attach must match that via null-safe key equality
+  private val keyGen = Gen.frequency(
+    (9, Gen.choose(0, 5).map(i => s"k$i")), (1, Gen.const(null: String)))
   private val tsGen = Gen.choose(0L, 2000L) // seconds; collisions on purpose
   private val rightRowGen = Gen.zip(keyGen, tsGen)
   private val leftRowGen = Gen.zip(keyGen, tsGen)
