@@ -121,6 +121,37 @@ object DataQueries {
       s"SELECT query_id, rank, neighbor_id, ${r6sql("cosine")} AS cosine FROM r " +
       "WHERE rank <= 3 ORDER BY query_id, rank"
 
+  /** Dup-cluster assignment via connected components. The input edges are CHAINS
+    * within each md5 group (doc → next doc, not all pairs), so min-label propagation
+    * must actually walk the diameter-3 chains (4 copies of ids < 50); the oracle is
+    * the md5-group min id.
+    */
+  private val qDupClusters: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).where(col("doc_id") < 200)
+    val d = base
+      .unionByName(base.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionByName(base.where(col("doc_id") < 100)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      .unionByName(base.where(col("doc_id") < 50)
+        .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val edges = d.select(col("doc_id"), lag(col("doc_id"), 1).over(w).as("prev"))
+      .where(col("prev").isNotNull)
+      .select(col("prev").as("idA"), col("doc_id").as("idB"))
+    val clusters = Dedup.dupClusters(edges)
+    d.join(clusters, d("doc_id") === clusters("id"), "left")
+      .select(d("doc_id"), coalesce(col("cluster_id"), d("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
+  private val qDupClustersSql =
+    "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200 " +
+      "UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 200 " +
+      "UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id < 100 " +
+      "UNION ALL SELECT doc_id + 300000, text FROM documents WHERE doc_id < 50) " +
+      "SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id " +
+      "FROM d ORDER BY doc_id"
+
   /** IVF with nProbe == nCentroids probes every cell, so the output must equal the
     * exact brute-force top-k — an exact oracle that still exercises the scale path
     * (centroid choice, assignment pass, probe join, per-cell ranking).
@@ -155,6 +186,28 @@ object DataQueries {
       "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine " +
       "FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
       s"SELECT idA, idB, ${r6sql("cosine")} AS cosine FROM s WHERE cosine >= 0.999 ORDER BY idA, idB"
+
+  /** Deterministic hash sampling: uniform 20% by doc id plus a stratified variant
+    * (downsample "en" to 10%, default 50%). The oracle reproduces the exact md5-based
+    * keep decision — no RNG, so both engines select identical row sets.
+    */
+  private val qSample: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val uniform = graft.data.Sampling.byHash(d, col("doc_id"), 0.2)
+      .select(col("doc_id"), lit("uniform").as("which"))
+    val strat = graft.data.Sampling.stratified(d, col("doc_id"), col("lang"),
+        Map("en" -> 0.1), defaultRate = 0.5)
+      .select(col("doc_id"), lit("stratified").as("which"))
+    uniform.unionByName(strat).orderBy("which", "doc_id")
+  }
+  private val qSampleSql = {
+    val frac = "(('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::UBIGINT::DOUBLE / 4503599627370496.0)"
+    s"WITH u AS (SELECT doc_id, 'uniform' AS which FROM documents WHERE $frac < 0.2), " +
+      s"s AS (SELECT doc_id, 'stratified' AS which FROM documents " +
+      s"WHERE $frac < CASE WHEN lang = 'en' THEN 0.1 ELSE 0.5 END) " +
+      "SELECT * FROM u UNION ALL SELECT * FROM s ORDER BY which, doc_id"
+  }
 
   // ------------------------------------------------------------------ text analysis
 
@@ -317,6 +370,8 @@ object DataQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> qDedupExact,
+    "q_dup_clusters" -> qDupClusters,
+    "q_sample" -> qSample,
     "q_ngram_pairs" -> qNgramPairs,
     "q_minhash_pairs" -> qMinhashPairs,
     "q_ann_topk" -> qAnnTopK,
@@ -331,6 +386,8 @@ object DataQueries {
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
+    "q_dup_clusters" -> qDupClustersSql,
+    "q_sample" -> qSampleSql,
     "q_ngram_pairs" -> qNgramPairsSql,
     "q_minhash_pairs" -> qNgramPairsSql, // banding must recover the full exact pair set here
     "q_ann_topk" -> qAnnTopKSql,

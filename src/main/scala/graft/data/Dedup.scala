@@ -116,6 +116,51 @@ object Dedup {
   /** Character n-gram jaccard similarity of two text columns (exact, per pair). */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = textfns.ngramJaccardSim(a, b, n)
 
+  /** Connected components over near-dup candidate pairs → one cluster id per doc
+    * (min member id wins). This is the step production dedup needs downstream of
+    * LSH/SimHash: pairs say "these two match", the keeper policy needs CLUSTERS.
+    *
+    * Iterative min-label propagation (the standard Pregel-style formulation): each
+    * round every node adopts the min label among itself and its neighbors; converges
+    * in O(graph diameter) rounds of one join + one groupBy each. Near-dup clusters
+    * are star-/clique-shaped in practice (tiny diameter), so 2–4 rounds; each round's
+    * result is persisted and the loop stops at the first round with zero changes.
+    *
+    * @return (id, cluster_id) for every id that appears in `pairs`; singletons (ids
+    *         with no pair) are absent — callers coalesce(cluster_id, id) after a left
+    *         join, as the gate query does.
+    */
+  def dupClusters(pairs: DataFrame, idACol: String = "idA", idBCol: String = "idB",
+      maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .unionByName(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var i = 0
+    var converged = false
+    while (i < maxIters && !converged) {
+      val viaNeighbors = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("cluster_id"))
+      val updated = labels.unionByName(viaNeighbors)
+        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = updated.withColumnRenamed("cluster_id", "new_id")
+        .join(labels, "id")
+        .where(col("new_id") =!= col("cluster_id"))
+        .count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding near-dup pairs: random-hyperplane (SRP) sketch buckets, exact cosine
     * verify. Hyperplane signs are deterministic functions of (bit, dim).
     */

@@ -1,0 +1,43 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines. `df.sample()` draws from an
+  * RNG seeded per partition, so results change under repartitioning and can't be
+  * reproduced by another engine; these samplers decide per ROW from a hash of a key,
+  * which makes them reproducible across runs, engines (DuckDB oracle in the gate),
+  * repartitions, and incremental re-runs — the property that matters when a 100-TB
+  * corpus is sampled in resumable pieces.
+  */
+object Sampling {
+
+  /** Uniform [0, 1) decided by md5 of the key: the first 13 hex digits (52 bits,
+    * exact in a double) over 2^52. Same formula is expressible in any engine with md5.
+    */
+  def hashFraction(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 13), 16, 10).cast("double") /
+      4503599627370496.0 // 2^52
+
+  /** Keep ~`rate` of rows, decided by the key's hash. Deterministic: the same key is
+    * always in or always out, so joins between independently-sampled tables keyed the
+    * same way stay consistent.
+    */
+  def byHash(df: DataFrame, key: Column, rate: Double): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    df.where(hashFraction(key) < rate)
+  }
+
+  /** Per-stratum rates (e.g. downsample "en" to 5%, keep the rest): rows whose
+    * stratum is missing from `rates` use `defaultRate`.
+    */
+  def stratified(df: DataFrame, key: Column, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    (rates.values ++ Seq(defaultRate)).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rates must be in [0,1], got $r"))
+    val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(stratum === s, r).otherwise(acc)
+    }
+    df.where(hashFraction(key) < rateCol)
+  }
+}

@@ -124,6 +124,37 @@ class DataOpsSpec extends SparkTestBase {
     assert(got.where(col("cosine") < 0.999).count() == 0)
   }
 
+  test("dup clusters: min-label propagation over chains, cliques, and crossing edges") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4), triangle 20-21-22, pair 10-11, and a bridge
+    // 5-20 merging the chain with the triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (10L, 11L), (5L, 20L)).toDF("idA", "idB")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      20L -> 1L, 21L -> 1L, 22L -> 1L, 10L -> 10L, 11L -> 10L)
+    assert(got == expected, got)
+  }
+
+  test("hash sampling is deterministic, repartition-stable, and rate-accurate") {
+    import spark.implicits._
+    val d = spark.range(0, 20000).toDF("id")
+    val s1 = Sampling.byHash(d, col("id"), 0.25).select("id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.byHash(d.repartition(17), col("id"), 0.25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "sample must not depend on partitioning")
+    assert(math.abs(s1.size / 20000.0 - 0.25) < 0.02, s"rate off: ${s1.size}")
+    // nested rates: the 10% sample is a subset of the 25% sample (same hash order)
+    val s3 = Sampling.byHash(d, col("id"), 0.10).select("id").collect().map(_.getLong(0)).toSet
+    assert(s3.subsetOf(s1))
+    val strat = Sampling.stratified(
+      d.withColumn("g", when(col("id") % 2 === 0, "a").otherwise("b")),
+      col("id"), col("g"), Map("a" -> 0.5), defaultRate = 0.0)
+    assert(strat.where(col("g") === "b").count() == 0)
+    assert(math.abs(strat.count() / 10000.0 - 0.5) < 0.05)
+  }
+
   test("text analysis: langid on planted sentences, token counts, quality, fingerprint") {
     // the synthetic documents' lang labels are random w.r.t. their (English-jargon)
     // content, so langid is validated on planted real-language sentences instead
