@@ -209,6 +209,33 @@ object DataQueries {
       "SELECT * FROM u UNION ALL SELECT * FROM s ORDER BY which, doc_id"
   }
 
+  /** Cleaning operators: NFC normalization + PII masking over texts planted with an
+    * email, a phone-like run, a dotted quad, and a DECOMPOSED accent (e + U+0301).
+    * Both engines build the identical input; outputs compare as md5 so the gate rows
+    * stay small. DuckDB regexp_replace needs the 'g' flag (Spark replaces all).
+    */
+  private val qNormalize: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import graft.data.TextAnalysis
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).where(col("doc_id") < 300)
+    val planted = concat(col("text"), lit(" contact user"), col("doc_id"),
+      lit("@example.com or +1 555 123 4567 at 10.0.0.1 cafe\u0301")) // decomposed e + combining acute, on purpose
+    d.select(col("doc_id"),
+        md5(TextAnalysis.nfcNormalize(planted)).as("nfc_md5"),
+        md5(TextAnalysis.maskPii(planted)).as("masked_md5"))
+      .orderBy("doc_id")
+  }
+  private val qNormalizeSql = {
+    val maskedExpr = graft.data.TextAnalysis.piiPatterns.foldLeft("t") {
+      case (acc, (rx, repl)) => s"regexp_replace($acc, '$rx', '$repl', 'g')"
+    }
+    "WITH d AS (SELECT doc_id, text || ' contact user' || doc_id || " +
+      "'@example.com or +1 555 123 4567 at 10.0.0.1 cafe' || chr(769) AS t " +
+      "FROM documents WHERE doc_id < 300) " +
+      s"SELECT doc_id, md5(nfc_normalize(t)) AS nfc_md5, md5($maskedExpr) AS masked_md5 " +
+      "FROM d ORDER BY doc_id"
+  }
+
   // ------------------------------------------------------------------ text analysis
 
   private val qTokenCount: (SparkSession, String) => DataFrame = (spark, dir) => {
@@ -372,6 +399,7 @@ object DataQueries {
     "q_dedup_exact" -> qDedupExact,
     "q_dup_clusters" -> qDupClusters,
     "q_sample" -> qSample,
+    "q_normalize" -> qNormalize,
     "q_ngram_pairs" -> qNgramPairs,
     "q_minhash_pairs" -> qMinhashPairs,
     "q_ann_topk" -> qAnnTopK,
@@ -388,6 +416,7 @@ object DataQueries {
     "q_dedup_exact" -> qDedupExactSql,
     "q_dup_clusters" -> qDupClustersSql,
     "q_sample" -> qSampleSql,
+    "q_normalize" -> qNormalizeSql,
     "q_ngram_pairs" -> qNgramPairsSql,
     "q_minhash_pairs" -> qNgramPairsSql, // banding must recover the full exact pair set here
     "q_ann_topk" -> qAnnTopKSql,

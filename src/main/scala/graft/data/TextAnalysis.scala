@@ -75,6 +75,35 @@ object TextAnalysis {
   /** Content-defined document fingerprint (rolling hash over normalized text). */
   def fingerprint(text: Column): Column = hashfns.rollingFingerprint(text)
 
+  // ------------------------------------------------------------- cleaning operators
+
+  /** Unicode NFC normalization — composed vs decomposed accents break exact dedup;
+    * run this before hashing. Codegen'd JDK normalizer (q_normalize gate vs DuckDB).
+    */
+  def nfcNormalize(text: Column): Column = graft.functions.textfns.nfcNormalize(text)
+
+  /** PII masking: emails, long digit runs (phone-like), dotted quads (IP-like).
+    * Patterns restricted to syntax RE2 also supports, so the DuckDB oracle runs the
+    * identical regexes. Conservative by design — corpus curation masks aggressively.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("""[\w.+-]+@[\w-]+(\.[\w-]+)+""", "<EMAIL>"),
+    ("""\+?\d[\d() -]{7,}\d""", "<PHONE>"),
+    ("""\b\d{1,3}(\.\d{1,3}){3}\b""", "<IP>"))
+
+  def maskPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (rx, repl)) => regexp_replace(c, rx, repl) }
+
+  /** Boilerplate filter: keep only lines with at least `minWords` word tokens (nav
+    * menus, timestamps, and link lists are short lines). Pure HOFs over the split —
+    * no explode of the corpus.
+    */
+  def stripShortLines(text: Column, minWords: Int = 4): Column =
+    array_join(
+      filter(split(text, "\n"),
+        line => size(split(trim(line), "\\s+")) >= minWords && length(trim(line)) > 0),
+      "\n")
+
   /** Convenience: attach all analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

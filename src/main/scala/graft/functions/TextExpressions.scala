@@ -30,6 +30,9 @@ object TextKernels {
   def ngramJaccardU8(a: UTF8String, b: UTF8String, n: Int): Double =
     ngramJaccard(a.toString, b.toString, n)
   def charEntropyU8(s: UTF8String): Double = charEntropy(s.toString)
+  /** Unicode NFC (canonical composition) via the JDK normalizer. */
+  def nfcU8(s: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
 
   /** Optimal String Alignment distance (Damerau-Levenshtein with adjacent
     * transpositions, no substring re-edits).
@@ -300,6 +303,20 @@ object CharClassCount {
     """[^\x00-\x7F]""" -> "non_ascii")
 }
 
+/** Unicode NFC normalization — the canonical first step of web-text cleaning (the
+  * same text crawled twice often differs only in composed vs decomposed accents,
+  * which breaks exact dedup). Codegen'd; DuckDB's nfc_normalize is the gate oracle.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullSafeEval(v: Any): Any = TextKernels.nfcU8(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.nfcU8($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 case class CharacterEntropy(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(v: Any): Any =
@@ -331,4 +348,5 @@ object textfns {
     col(JaroWinklerSimilarity(e(l), e(r), weight))
   def ngramJaccardSim(l: Column, r: Column, n: Int = 2): Column = col(NgramJaccardSimilarity(e(l), e(r), n))
   def charEntropy(c: Column): Column = col(CharacterEntropy(e(c)))
+  def nfcNormalize(c: Column): Column = col(NfcNormalize(e(c)))
 }

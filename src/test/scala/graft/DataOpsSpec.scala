@@ -137,6 +137,23 @@ class DataOpsSpec extends SparkTestBase {
     assert(got == expected, got)
   }
 
+  test("cleaning ops: NFC composition, PII masking, short-line stripping") {
+    import spark.implicits._
+    val df = Seq(
+      ("cafe\u0301 meets caf\u00e9", // decomposed vs composed
+       "mail a.b+c@ex-1.co.uk or call +1 (555) 123-4567 from 10.0.0.255 ok",
+       "a good long line with many words\nshort one\n\nanother sufficiently long line here"))
+      .toDF("nfc_in", "pii_in", "lines_in")
+    val r = df.select(
+      TextAnalysis.nfcNormalize(col("nfc_in")).as("nfc"),
+      TextAnalysis.maskPii(col("pii_in")).as("masked"),
+      TextAnalysis.stripShortLines(col("lines_in"), minWords = 4).as("stripped")).head
+    assert(r.getString(0) == "caf\u00e9 meets caf\u00e9")
+    assert(r.getString(1) == "mail <EMAIL> or call <PHONE> from <IP> ok", r.getString(1))
+    assert(r.getString(2) ==
+      "a good long line with many words\nanother sufficiently long line here")
+  }
+
   test("hash sampling is deterministic, repartition-stable, and rate-accurate") {
     import spark.implicits._
     val d = spark.range(0, 20000).toDF("id")
