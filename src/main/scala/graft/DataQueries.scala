@@ -236,6 +236,20 @@ object DataQueries {
       "FROM d ORDER BY doc_id"
   }
 
+  /** Anti-domination cap: at most 3 docs per source, largest first (n_chars desc,
+    * doc_id asc tie-break) — the QUALIFY-style curation rule.
+    */
+  private val qDomainCap: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    graft.data.Sampling.capPerGroup(d, col("source"), col("n_chars"), col("doc_id"), k = 3)
+      .orderBy("doc_id")
+  }
+  private val qDomainCapSql =
+    "SELECT doc_id, source, n_chars FROM documents " +
+      "QUALIFY row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) <= 3 " +
+      "ORDER BY doc_id"
+
   // ------------------------------------------------------------------ text analysis
 
   private val qTokenCount: (SparkSession, String) => DataFrame = (spark, dir) => {
@@ -400,6 +414,7 @@ object DataQueries {
     "q_dup_clusters" -> qDupClusters,
     "q_sample" -> qSample,
     "q_normalize" -> qNormalize,
+    "q_domain_cap" -> qDomainCap,
     "q_ngram_pairs" -> qNgramPairs,
     "q_minhash_pairs" -> qMinhashPairs,
     "q_ann_topk" -> qAnnTopK,
@@ -417,6 +432,7 @@ object DataQueries {
     "q_dup_clusters" -> qDupClustersSql,
     "q_sample" -> qSampleSql,
     "q_normalize" -> qNormalizeSql,
+    "q_domain_cap" -> qDomainCapSql,
     "q_ngram_pairs" -> qNgramPairsSql,
     "q_minhash_pairs" -> qNgramPairsSql, // banding must recover the full exact pair set here
     "q_ann_topk" -> qAnnTopKSql,

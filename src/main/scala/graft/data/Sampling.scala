@@ -40,4 +40,18 @@ object Sampling {
     }
     df.where(hashFraction(key) < rateCol)
   }
+
+  /** Per-group cap: keep the top `k` rows of each group by `order` (desc), ties
+    * broken by `tieBreak` (asc) for determinism — "at most N pages per domain", the
+    * standard anti-domination rule in corpus curation. One shuffle on the group key.
+    */
+  def capPerGroup(df: DataFrame, group: Column, order: Column, tieBreak: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(order.desc, tieBreak.asc)
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__rk")
+  }
 }

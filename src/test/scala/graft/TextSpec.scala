@@ -88,6 +88,26 @@ class TextSpec extends SparkTestBase {
       "TEXT_FEATURE_3_character_entropy" -> Seq(3.64644, 2.84644, 1.58496, 3.52164, 3.49923, 0.0)))
   }
 
+  test("graft_* SQL functions register and evaluate (SQL surface)") {
+    graft.functions.graftsql.registerAll(spark)
+    val r = spark.sql(
+      "SELECT graft_jaro_sim('martha', 'marhta') AS j, " +
+        "graft_jaro_winkler_sim('martha', 'marhta') AS jw, " +
+        "graft_damerau_levenshtein_sim('martha', 'marhta') AS dl, " +
+        "graft_jaccard2_sim('night', 'nacht') AS jac, " +
+        "graft_char_entropy('aabb') AS ent, " +
+        "graft_nfc('café') AS nfc, " +
+        "graft_simhash64('hello world') AS sh, " +
+        "graft_fingerprint('hello world') AS fp").head
+    assert(valueEq(r.getDouble(0), 0.944444))
+    assert(valueEq(r.getDouble(1), 0.961111))
+    assert(valueEq(r.getDouble(2), 1.0 - 1.0 / 6))
+    assert(valueEq(r.getDouble(4), 1.0))
+    assert(r.getString(5) == "café")
+    assert(r.getLong(6) == graft.functions.HashKernels.simhash64("hello world"))
+    assert(r.getLong(7) == graft.functions.HashKernels.rollingFingerprint("hello world"))
+  }
+
   test("text/hash kernels compile inside whole-stage codegen (no interpreted fallback)") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     import graft.functions.{hashfns, textfns}
