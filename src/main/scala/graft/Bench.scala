@@ -60,6 +60,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", (cpus.toInt * 4).toString))
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE coalesce partitions INSIDE cached plans too — iterative ops (dup
+      // clusters) cache per-round frames, and pinning them at full shuffle width
+      // makes every tiny round pay hundreds of empty tasks
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
