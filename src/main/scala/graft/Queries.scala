@@ -417,6 +417,39 @@ object Queries {
       "BETWEEN floor(epoch(e.ts))::BIGINT - 2592000 AND floor(epoch(e.ts))::BIGINT " +
       "ORDER BY 1, 2"
 
+  /** URL canonicalization on planted messy urls (uppercase authority, tracking
+    * params, fragments, trailing slashes) built identically in both engines.
+    */
+  private val qUrlCanon: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val d = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id").where(col("event_id") < 2000)
+    val messy1 = concat(lit("HTTPS://Example.COM/Path"), col("event_id"),
+      lit("/?utm_source=x&q="), col("event_id"), lit("&fbclid=zz#frag"))
+    val messy2 = concat(lit("http://WWW.Site.ORG:8080/a/"), col("event_id"),
+      lit("/?utm_campaign=c"))
+    d.select(col("event_id"),
+        graft.web.UrlOps.canonicalizeUrl(messy1).as("canon1"),
+        graft.web.UrlOps.canonicalizeUrl(messy2).as("canon2"))
+      .orderBy("event_id")
+  }
+  private val qUrlCanonSql = {
+    // the same four rules in DuckDB, applied to the same planted strings
+    def canon(raw: String): String = {
+      val noFrag = s"regexp_replace($raw, '#.*$$', '')"
+      val head = s"lower(regexp_extract($noFrag, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))"
+      val path = s"regexp_extract($noFrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+      val query = s"regexp_extract($noFrag, '\\?([^#]*)', 1)"
+      val kept = s"list_filter(string_split($query, '&'), " +
+        s"p -> length(p) > 0 AND NOT regexp_matches(p, '^(utm_[a-zA-Z0-9_]*|gclid|fbclid)='))"
+      val canonPath = s"CASE WHEN $path IN ('', '/') THEN '/' ELSE regexp_replace($path, '/$$', '') END"
+      s"$head || $canonPath || CASE WHEN len($kept) > 0 THEN '?' || array_to_string($kept, '&') ELSE '' END"
+    }
+    val m1 = "'HTTPS://Example.COM/Path' || event_id || '/?utm_source=x&q=' || event_id || '&fbclid=zz#frag'"
+    val m2 = "'http://WWW.Site.ORG:8080/a/' || event_id || '/?utm_campaign=c'"
+    s"SELECT event_id, ${canon(m1)} AS canon1, ${canon(m2)} AS canon2 " +
+      "FROM events WHERE event_id < 2000 ORDER BY event_id"
+  }
+
   /** Inclusive cumulative entity entropy — the incremental identity in both engines. */
   private val qCumEntropy = eventFeatures(Seq("event_type_by_user_id_inclusive_cum_entropy"),
     _.withEntityEntropy("user_id", "event_type", cumulative = Cum.Inclusive),
@@ -489,6 +522,7 @@ object Queries {
     "q_asof_strict" -> qAsofStrict,
     "q_asof_tolerance" -> qAsofTolerance,
     "q_range_join" -> qRangeJoin,
+    "q_url_canon" -> qUrlCanon,
     "q_cum_entropy" -> qCumEntropy,
     "q_rolling_pmi" -> qRollingPmi,
     "q_arg_extreme" -> qArgExtreme) ++ DataQueries.all
@@ -518,6 +552,7 @@ object Queries {
     "q_asof_strict" -> qAsofStrictSql,
     "q_asof_tolerance" -> qAsofToleranceSql,
     "q_range_join" -> qRangeJoinSql,
+    "q_url_canon" -> qUrlCanonSql,
     "q_cum_entropy" -> qCumEntropySql,
     "q_rolling_pmi" -> qRollingPmiSql,
     "q_arg_extreme" -> qArgExtremeSql) ++ DataQueries.oracles

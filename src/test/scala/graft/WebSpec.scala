@@ -60,6 +60,20 @@ class WebSpec extends SparkTestBase {
     checkAsOf(r, strict = false, tolerance = Some(tol))
   }
 
+  test("url canonicalization edge cases") {
+    import spark.implicits._
+    val cases = Seq(
+      "HTTPS://A.Com/" -> "https://a.com/",
+      "https://a.com" -> "https://a.com/",
+      "https://a.com/x/" -> "https://a.com/x",
+      "https://a.com/x?utm_source=1" -> "https://a.com/x",
+      "https://a.com/x?a=1&utm_medium=2&b=2#f" -> "https://a.com/x?a=1&b=2",
+      "http://B.org:8080/Y?gclid=z&q=K" -> "http://b.org:8080/Y?q=K")
+    val got = cases.map(_._1).toDF("u")
+      .select(UrlOps.canonicalizeUrl(col("u"))).collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), got)
+  }
+
   test("bucketed range join equals the native non-equi join (both window shapes)") {
     val l = events.select(col("url"), col("ts"), col("value"))
     val r = pages.select(col("url").as("purl"), col("warc_ts"), col("lang"))
