@@ -407,6 +407,18 @@ object DataQueries {
       "FROM r ORDER BY doc_id"
   }
 
+  /** Corpus word-frequency table (tokenizer-training input): same lowercase
+    * letter/digit-run tokenization in both engines.
+    */
+  private val qWordCounts: (SparkSession, String) => DataFrame = (spark, dir) => {
+    TextAnalysis.wordCounts(spark.read.parquet(s"$dir/documents.parquet"), "text")
+      .orderBy("token")
+  }
+  private val qWordCountsSql =
+    "SELECT token, count(*) AS n FROM (SELECT unnest(regexp_extract_all(lower(text), " +
+      "'[\\p{L}\\p{N}]+')) AS token FROM documents) WHERE length(token) > 0 " +
+      "GROUP BY token ORDER BY token"
+
   // ----------------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -415,6 +427,7 @@ object DataQueries {
     "q_sample" -> qSample,
     "q_normalize" -> qNormalize,
     "q_domain_cap" -> qDomainCap,
+    "q_word_counts" -> qWordCounts,
     "q_ngram_pairs" -> qNgramPairs,
     "q_minhash_pairs" -> qMinhashPairs,
     "q_ann_topk" -> qAnnTopK,
@@ -433,6 +446,7 @@ object DataQueries {
     "q_sample" -> qSampleSql,
     "q_normalize" -> qNormalizeSql,
     "q_domain_cap" -> qDomainCapSql,
+    "q_word_counts" -> qWordCountsSql,
     "q_ngram_pairs" -> qNgramPairsSql,
     "q_minhash_pairs" -> qNgramPairsSql, // banding must recover the full exact pair set here
     "q_ann_topk" -> qAnnTopKSql,

@@ -104,6 +104,15 @@ object TextAnalysis {
         line => size(split(trim(line), "\\s+")) >= minWords && length(trim(line)) > 0),
       "\n")
 
+  /** Corpus word-frequency table — the input to tokenizer/BPE training and stopword
+    * mining: lowercased BPE-ish pre-tokens, exploded and counted. One shuffle with
+    * map-side combine; at 100 TB this is the canonical word-count shape.
+    */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+
   /** Convenience: attach all analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

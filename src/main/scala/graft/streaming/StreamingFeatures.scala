@@ -107,6 +107,17 @@ object StreamingFeatures {
     }
   }
 
+  /** Streaming exact dedup: the first page with a given content hash survives; later
+    * duplicates drop. State is keyed by md5(text) and evicted once event time passes
+    * the watermark — the streaming counterpart of [[graft.data.Dedup.exact]] with a
+    * bounded dedup horizon.
+    */
+  def dedupStream(pages: Dataset[PageEvent], watermark: String): org.apache.spark.sql.DataFrame =
+    pages.toDF()
+      .withColumn("text_md5", md5(col("text")))
+      .withWatermark("warc_ts", watermark)
+      .dropDuplicates("text_md5")
+
   /** Watermarked per-url tumbling-window snapshot counts — the streaming analogue of
     * the batch rolling count, with late data dropped past the watermark.
     */

@@ -96,6 +96,29 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("streaming exact dedup keeps the first content hash across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2020-01-$day%02d 00:00:00")
+    val input = MemoryStream[PageEvent]
+    val query = graft.streaming.StreamingFeatures.dedupStream(input.toDS(), "7 days")
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        PageEvent("u1", ts(1), "same text", "en"),
+        PageEvent("u2", ts(1), "same text", "en"), // in-batch duplicate
+        PageEvent("u3", ts(2), "other text", "en"))
+      query.processAllAvailable()
+      input.addData(PageEvent("u4", ts(3), "same text", "en")) // cross-batch duplicate
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.table("stream_dedup")
+    assert(out.count() == 2, out.collect().mkString(", "))
+    assert(out.select("text").collect().map(_.getString(0)).toSet ==
+      Set("same text", "other text"))
+  }
+
   test("watermarked windowed counts produce rows and respect the window width") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
