@@ -49,24 +49,37 @@ object Ann {
         xxhash64(col(idCol)).as("__h"))
       .orderBy(col("__h")).limit(nCentroids).drop("__h")
 
-  /** One assignment pass: nearest centroid per corpus row. The centroid table is
-    * tiny BY CONTRACT (it was sampled to nCentroids rows), so it collects to the
-    * driver and the assignment becomes a MAP-ONLY argmax over literal vectors — no
-    * crossJoin row explosion, no shuffle-by-id window. At 10^12 corpus rows this is
-    * the difference between a scan and a corpus-wide shuffle.
+  /** One assignment pass: nearest centroid per corpus row.
+    *
+    * Up to `maxLiteralCentroids` the centroid table (tiny by contract — it was
+    * sampled to nCentroids rows) collects to the driver and assignment is a MAP-ONLY
+    * argmax over literal vectors: no crossJoin row explosion, no shuffle-by-id
+    * window — at 10^12 corpus rows the difference between a scan and a shuffle.
+    * Beyond that, one literal cosine per centroid would blow Janino's method-size
+    * limits, so large centroid sets fall back to broadcast-crossJoin + per-id window.
+    * Note the literal path runs `cents.collect()` at PLAN TIME (eager).
     */
-  def assign(corpus: DataFrame, cents: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val cRows = cents.collect().map { r =>
-      (r.getLong(0), r.getSeq[Float](1))
-    }
-    require(cRows.nonEmpty, "no centroids")
-    if (cRows.length == 1) corpus.withColumn("centroid_id", lit(cRows.head._1))
-    else {
-      // max of (sim, -centroid_id) structs = best sim, ties to the SMALLEST id
-      val best = greatest(cRows.map { case (cid, vec) =>
-        struct(cosine(col(vecCol), typedlit(vec)).as("s"), lit(-cid).as("negc"))
-      }: _*)
-      corpus.withColumn("centroid_id", -best.getField("negc"))
+  def assign(corpus: DataFrame, cents: DataFrame, idCol: String, vecCol: String,
+      maxLiteralCentroids: Int = 128): DataFrame = {
+    val centNamed = cents.select(col("centroid_id"), col("__centroid"))
+    val n = centNamed.limit(maxLiteralCentroids + 1).count()
+    require(n > 0, "no centroids")
+    if (n > maxLiteralCentroids) {
+      val scored = corpus.crossJoin(broadcast(centNamed))
+        .withColumn("__sim", cosine(col(vecCol), col("__centroid")))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("centroid_id").asc)
+      scored.withColumn("__rk", row_number().over(w)).where(col("__rk") === 1)
+        .drop("__rk", "__sim", "__centroid")
+    } else {
+      val cRows = centNamed.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      if (cRows.length == 1) corpus.withColumn("centroid_id", lit(cRows.head._1))
+      else {
+        // max of (sim, -centroid_id) structs = best sim, ties to the SMALLEST id
+        val best = greatest(cRows.map { case (cid, vec) =>
+          struct(cosine(col(vecCol), typedlit(vec)).as("s"), lit(-cid).as("negc"))
+        }: _*)
+        corpus.withColumn("centroid_id", -best.getField("negc"))
+      }
     }
   }
 

@@ -129,7 +129,12 @@ object Dedup {
     *
     * @return (id, cluster_id) for every id that appears in `pairs`; singletons (ids
     *         with no pair) are absent — callers coalesce(cluster_id, id) after a left
-    *         join, as the gate query does.
+    *         join, as the gate query does. The returned frame IS persisted (its
+    *         lineage spans every round); `unpersist()` it when done.
+    * @throws IllegalStateException if `maxIters` rounds don't converge (pointer
+    *         jumping covers diameter ~2^maxIters, so this only fires on a
+    *         pathological graph or a tiny maxIters) — a silent partial result would
+    *         split dup clusters and keep extra copies downstream.
     */
   def dupClusters(pairs: DataFrame, idACol: String = "idA", idBCol: String = "idB",
       maxIters: Int = 20): DataFrame = {
@@ -158,7 +163,9 @@ object Dedup {
           coalesce(col("__pcid"), col("a.cluster_id")).as("cluster_id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val t0 = System.nanoTime()
-      val s = updated.agg(sum(col("cluster_id")).cast("decimal(38,0)")).head.getDecimal(0)
+      // cast BEFORE summing: a LongType sum wraps silently under ansi=false, and a
+      // wrapped-sum collision would fake convergence
+      val s = updated.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(f"[cc] round $i: ${(System.nanoTime() - t0) / 1e9}%.2fs sum=$s")
       labels.unpersist()
@@ -169,6 +176,10 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge within $maxIters rounds — partial labels would" +
+          " silently split duplicate clusters; raise maxIters")
     labels
   }
 

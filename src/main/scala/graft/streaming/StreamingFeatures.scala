@@ -108,15 +108,16 @@ object StreamingFeatures {
   }
 
   /** Streaming exact dedup: the first page with a given content hash survives; later
-    * duplicates drop. State is keyed by md5(text) and evicted once event time passes
-    * the watermark — the streaming counterpart of [[graft.data.Dedup.exact]] with a
-    * bounded dedup horizon.
+    * duplicates within the watermark horizon drop. Uses
+    * `dropDuplicatesWithinWatermark`, whose state IS evicted once event time passes
+    * the watermark — plain `dropDuplicates(hash)` would keep every hash ever seen
+    * forever (the event-time column isn't part of the key, so nothing ages out).
     */
   def dedupStream(pages: Dataset[PageEvent], watermark: String): org.apache.spark.sql.DataFrame =
     pages.toDF()
       .withColumn("text_md5", md5(col("text")))
       .withWatermark("warc_ts", watermark)
-      .dropDuplicates("text_md5")
+      .dropDuplicatesWithinWatermark("text_md5")
 
   /** Watermarked per-url tumbling-window snapshot counts — the streaming analogue of
     * the batch rolling count, with late data dropped past the watermark.

@@ -26,8 +26,11 @@ object UrlOps {
       p => length(p) > 0 && !p.rlike("^(utm_[a-zA-Z0-9_]*|gclid|fbclid)="))
     val canonPath = when(path === "" || path === "/", lit("/"))
       .otherwise(regexp_replace(path, "/$", ""))
-    concat(head, canonPath,
-      when(size(keptParams) > 0, concat(lit("?"), array_join(keptParams, "&")))
-        .otherwise(lit("")))
+    // scheme-less / relative / unparseable urls pass through unchanged — collapsing
+    // them all onto one key would silently merge unrelated rows in url-keyed dedup
+    when(head === "", u).otherwise(
+      concat(head, canonPath,
+        when(size(keptParams) > 0, concat(lit("?"), array_join(keptParams, "&")))
+          .otherwise(lit(""))))
   }
 }

@@ -110,6 +110,14 @@ class DataOpsSpec extends SparkTestBase {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.2, s"IVF recall too low: $recall")
     assert(approx.forall { case (q, _) => q < 20 })
+    // the literal (map-only) and window-fallback assignment paths must agree
+    val cents = Ann.centroids(embeddings, "vec_id", "embedding", 16)
+    def asMap(df: DataFrame) = df.select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLiteral = asMap(Ann.assign(embeddings, cents, "vec_id", "embedding"))
+    val viaWindow = asMap(Ann.assign(embeddings, cents, "vec_id", "embedding",
+      maxLiteralCentroids = 2))
+    assert(viaLiteral == viaWindow)
   }
 
   test("embedding cosine near-dup pairs are exact-verified (no false positives)") {

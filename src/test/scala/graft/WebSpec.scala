@@ -68,7 +68,10 @@ class WebSpec extends SparkTestBase {
       "https://a.com/x/" -> "https://a.com/x",
       "https://a.com/x?utm_source=1" -> "https://a.com/x",
       "https://a.com/x?a=1&utm_medium=2&b=2#f" -> "https://a.com/x?a=1&b=2",
-      "http://B.org:8080/Y?gclid=z&q=K" -> "http://b.org:8080/Y?q=K")
+      "http://B.org:8080/Y?gclid=z&q=K" -> "http://b.org:8080/Y?q=K",
+      // scheme-less / relative urls pass through, never collapse onto one key
+      "example.com/a?x=1" -> "example.com/a?x=1",
+      "//cdn.example.com/x" -> "//cdn.example.com/x")
     val got = cases.map(_._1).toDF("u")
       .select(UrlOps.canonicalizeUrl(col("u"))).collect().map(_.getString(0)).toSeq
     assert(got == cases.map(_._2), got)
