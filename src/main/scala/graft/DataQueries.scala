@@ -407,6 +407,48 @@ object DataQueries {
       "FROM r ORDER BY doc_id"
   }
 
+  /** DL/Jaro/Jaro-Winkler gate on TIE-BREAK-FREE planted pairs. The metrics diverge
+    * between engines on ~3% of RANDOM strings (greedy-match tie-breaks; DuckDB's
+    * damerau_levenshtein is full DL vs the engine's OSA — measured in r1/r2), but on
+    * strings with all-distinct characters and at most one edit the match assignment
+    * is unambiguous and OSA ≡ DL, so DuckDB's jaro_similarity /
+    * jaro_winkler_similarity / damerau_levenshtein agree EXACTLY (probed: 0/1500
+    * mismatches). Pairs are built deterministically from doc_id in both engines:
+    * t1 = a 12-char window into a 36-unique-char alphabet, t2 = identity / one
+    * deletion / one substitution / one adjacent transposition by doc_id % 4.
+    */
+  private val jaroAlphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+  private val qJaroSim: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import graft.functions.textfns
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).where(col("doc_id") < 500)
+    val t1 = lit(jaroAlphabet).substr((col("doc_id") % 20 + 1).cast("int"), lit(12))
+    val v = col("doc_id") % 4
+    val t2 = when(v === 0, t1)
+      .when(v === 1, concat(substring(t1, 1, 5), substring(t1, 7, 6)))
+      .when(v === 2, concat(substring(t1, 1, 2), lit("#"), substring(t1, 4, 9)))
+      .otherwise(concat(substring(t1, 1, 3), substring(t1, 5, 1), substring(t1, 4, 1),
+        substring(t1, 6, 7)))
+    d.select(col("doc_id"),
+        r6(textfns.damerauLevenshteinSim(t1, t2)).as("dl_sim"),
+        r6(textfns.jaroSim(t1, t2)).as("jaro_sim"),
+        r6(textfns.jaroWinklerSim(t1, t2)).as("jw_sim"))
+      .orderBy("doc_id")
+  }
+  private val qJaroSimSql = {
+    val t1 = s"substr('$jaroAlphabet', (doc_id % 20)::INT + 1, 12)"
+    "WITH p AS (SELECT doc_id, t1, CASE doc_id % 4 WHEN 0 THEN t1 " +
+      "WHEN 1 THEN substr(t1, 1, 5) || substr(t1, 7, 6) " +
+      "WHEN 2 THEN substr(t1, 1, 2) || '#' || substr(t1, 4, 9) " +
+      "ELSE substr(t1, 1, 3) || substr(t1, 5, 1) || substr(t1, 4, 1) || substr(t1, 6, 7) END AS t2 " +
+      s"FROM (SELECT doc_id, $t1 AS t1 FROM documents WHERE doc_id < 500)), " +
+      "s AS (SELECT doc_id, " +
+      "1.0 - damerau_levenshtein(t1, t2)::DOUBLE / greatest(length(t1), length(t2)) AS dl_sim, " +
+      "jaro_similarity(t1, t2) AS jaro_sim, jaro_winkler_similarity(t1, t2) AS jw_sim FROM p) " +
+      s"SELECT doc_id, ${Seq("dl_sim", "jaro_sim", "jw_sim").map(n => s"${r6sql(n)} AS $n").mkString(", ")} " +
+      "FROM s ORDER BY doc_id"
+  }
+
   /** Corpus word-frequency table (tokenizer-training input): same lowercase
     * letter/digit-run tokenization in both engines.
     */
@@ -438,7 +480,8 @@ object DataQueries {
     "q_langid" -> qLangId,
     "q_fingerprints" -> qFingerprints,
     "q_simhash_pairs" -> qSimhashPairs,
-    "q_text_sim" -> qTextSim)
+    "q_text_sim" -> qTextSim,
+    "q_jaro_sim" -> qJaroSim)
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
@@ -457,5 +500,6 @@ object DataQueries {
     "q_langid" -> qLangIdSql,
     "q_fingerprints" -> qFingerprintsSql,
     "q_simhash_pairs" -> qSimhashPairsSql,
-    "q_text_sim" -> qTextSimSql)
+    "q_text_sim" -> qTextSimSql,
+    "q_jaro_sim" -> qJaroSimSql)
 }

@@ -398,23 +398,27 @@ object Queries {
       "SELECT event_id, CASE WHEN age <= 2592000 THEN floor(epoch(o_orderdate))::BIGINT END AS matched_epoch, " +
       "CASE WHEN age <= 2592000 THEN o_orderkey END AS o_orderkey FROM j ORDER BY event_id"
 
-  /** Keyed range join: every order of the event's user within the trailing 30 days —
-    * the bucketed equality formulation vs DuckDB's native inequality join.
+  /** Keyed range join: every OTHER event of the same user within the trailing 24h —
+    * the bucketed equality formulation vs DuckDB's native inequality join. A self-join
+    * on events keeps the gate NON-VACUOUS (the r2 events×orders variant matched 0 rows:
+    * the synthetic tables are ~23 years apart) and exercises the bucketing for real —
+    * the events span ~30 days, so ~30 one-day buckets and the ≤2-bucket left explode
+    * all carry rows (≈22k matched pairs at sf0.01).
     */
   private val qRangeJoin: (SparkSession, String) => DataFrame = (spark, dir) => {
     val events = spark.read.parquet(s"$dir/events.parquet").select("event_id", "ts", "user_id")
-    val orders = spark.read.parquet(s"$dir/orders.parquet")
-      .select("o_orderkey", "o_custkey", "o_orderdate")
-    graft.web.RangeJoin.byKeyAndTime(events, orders, Seq("user_id"), "ts",
-        Seq("o_custkey"), "o_orderdate", beforeSeconds = 30L * 86400, afterSeconds = 0L,
-        valueCols = Seq("o_orderkey"))
-      .select(col("event_id"), col("o_orderkey"))
-      .orderBy("event_id", "o_orderkey")
+    val others = events.select(col("event_id").as("o_event_id"), col("ts"), col("user_id"))
+    graft.web.RangeJoin.byKeyAndTime(events, others, Seq("user_id"), "ts",
+        Seq("user_id"), "ts", beforeSeconds = 86400L, afterSeconds = 0L,
+        valueCols = Seq("o_event_id"))
+      .where(col("o_event_id") =!= col("event_id"))
+      .select(col("event_id"), col("o_event_id"))
+      .orderBy("event_id", "o_event_id")
   }
   private val qRangeJoinSql =
-    "SELECT e.event_id, o.o_orderkey FROM events e JOIN orders o ON e.user_id = o.o_custkey " +
-      "AND floor(epoch(o.o_orderdate))::BIGINT " +
-      "BETWEEN floor(epoch(e.ts))::BIGINT - 2592000 AND floor(epoch(e.ts))::BIGINT " +
+    "SELECT e.event_id, o.event_id AS o_event_id FROM events e JOIN events o ON e.user_id = o.user_id " +
+      "AND o.event_id != e.event_id AND floor(epoch(o.ts))::BIGINT " +
+      "BETWEEN floor(epoch(e.ts))::BIGINT - 86400 AND floor(epoch(e.ts))::BIGINT " +
       "ORDER BY 1, 2"
 
   /** URL canonicalization on planted messy urls (uppercase authority, tracking
@@ -495,6 +499,104 @@ object Queries {
       "FROM events",
     Seq("argmin_of_value_by_event_type_over_user_id", "argmax_of_value_by_event_type_over_user_id"))
 
+  // ------------------------------------------------------------- feature selection
+
+  /** Shared selector input: label = value > 40, numeric/boolean/ordinal/nominal
+    * features derived deterministically from the events table. Both engines build
+    * the identical frame; the gates compare each method's per-feature statistic AND
+    * the ranked order (stat desc, name asc — the reference's tie-break).
+    */
+  private def selectorDs(spark: SparkSession, dir: String): GraftDataset = {
+    val df = spark.read.parquet(s"$dir/events.parquet").select(
+      (col("value") > 40.0).as("label"),
+      hour(col("ts")).cast("double").as("f_hour"),
+      log(col("event_id").cast("double") + 1).as("f_loge"),
+      pmod(col("user_id"), lit(10)).cast("double").as("f_umod"),
+      col("event_type").as("f_etype"),
+      (col("event_id") % 2 === 0).as("f_parity"),
+      pmod(col("user_id"), lit(3)).cast("int").as("f_ubucket"))
+    val schema = FeatureSchema(
+      ColumnSpec.boolean("label", ColRole.Label),
+      ColumnSpec.numeric("f_hour"),
+      ColumnSpec.numeric("f_loge"),
+      ColumnSpec.numeric("f_umod"),
+      ColumnSpec.nominal("f_etype"),
+      ColumnSpec.boolean("f_parity"),
+      ColumnSpec.ordinal("f_ubucket"))
+    GraftDataset(df, schema, Nil)
+  }
+  // the same derived columns in DuckDB (l kept boolean; numeric casts at use sites)
+  private val selectorBaseSql =
+    "SELECT (value > 40.0) AS l, hour(ts)::DOUBLE AS f_hour, " +
+      "ln(event_id::DOUBLE + 1) AS f_loge, (user_id % 10)::DOUBLE AS f_umod, " +
+      "event_type AS f_etype, ((event_id % 2) = 0) AS f_parity, " +
+      "(user_id % 3) AS f_ubucket FROM events"
+
+  private def qSelect(method: graft.selection.SelectionMethod,
+      feats: Seq[String]): (SparkSession, String) => DataFrame = (spark, dir) => {
+    import graft.selection.FeatureSelector
+    val report = FeatureSelector.getReport(selectorDs(spark, dir),
+      ColumnSelection.Many(feats.map(ColumnSelection.ByName(_))), method)
+    val rankOf = FeatureSelector.selectFeatures(report, topK = Some(feats.size))
+      .zipWithIndex.map { case (f, i) => f -> (i + 1L) }.toMap
+    import spark.implicits._
+    report.stats.map { case (f, s) => (f, s, rankOf(f)) }.toDF("feature", "stat", "rank")
+      .select(col("feature"), r6(col("stat")).as("stat"), col("rank"))
+      .orderBy("feature")
+  }
+
+  /** NaN/NULL → 0 like the engine's fills, then rank + round. */
+  private def selectorRankSql(statRows: String): String =
+    s"WITH b AS ($selectorBaseSql), t AS ($statRows), " +
+      "u AS (SELECT feature, CASE WHEN stat IS NULL OR isnan(stat) THEN 0.0 ELSE stat END AS stat FROM t), " +
+      "r AS (SELECT feature, stat, row_number() OVER (ORDER BY stat DESC, feature ASC) AS rank FROM u) " +
+      s"SELECT feature, ${r6sql("stat")} AS stat, rank FROM r ORDER BY feature"
+
+  private val corrFeats = Seq("f_hour", "f_loge", "f_parity", "f_umod")
+  private val qSelectCorr = qSelect(graft.selection.SelectionMethod.Correlation, corrFeats)
+  private val qSelectCorrSql = selectorRankSql(corrFeats.map { f =>
+    val fd = if (f == "f_parity") s"$f::INT::DOUBLE" else f
+    s"SELECT '$f' AS feature, abs(corr($fd, l::INT::DOUBLE)) AS stat FROM b"
+  }.mkString(" UNION ALL "))
+
+  private val qSelectTtest = qSelect(graft.selection.SelectionMethod.TTest, corrFeats)
+  private val qSelectTtestSql = {
+    val perClass = corrFeats.flatMap { f =>
+      val fd = if (f == "f_parity") s"$f::INT::DOUBLE" else f
+      Seq(s"avg($fd) FILTER (WHERE l) AS mt_$f", s"var_samp($fd) FILTER (WHERE l) AS vt_$f",
+        s"avg($fd) FILTER (WHERE NOT l) AS mf_$f", s"var_samp($fd) FILTER (WHERE NOT l) AS vf_$f")
+    } ++ Seq("count(*) FILTER (WHERE l)::DOUBLE AS nt", "count(*) FILTER (WHERE NOT l)::DOUBLE AS nf")
+    val statRows = corrFeats.map(f =>
+      s"SELECT '$f' AS feature, abs(mt_$f - mf_$f) / sqrt(vt_$f / nt + vf_$f / nf) AS stat FROM s")
+      .mkString(" UNION ALL ")
+    // Welch statistic from one per-class aggregation pass, like the engine
+    s"WITH b AS ($selectorBaseSql), s AS (SELECT ${perClass.mkString(", ")} FROM b), t AS ($statRows), " +
+      "u AS (SELECT feature, CASE WHEN stat IS NULL OR isnan(stat) THEN 0.0 ELSE stat END AS stat FROM t), " +
+      "r AS (SELECT feature, stat, row_number() OVER (ORDER BY stat DESC, feature ASC) AS rank FROM u) " +
+      s"SELECT feature, ${r6sql("stat")} AS stat, rank FROM r ORDER BY feature"
+  }
+
+  private val chi2Feats = Seq("f_etype", "f_parity", "f_ubucket")
+  private val qSelectChi2 = qSelect(graft.selection.SelectionMethod.ChiSquared, chi2Feats)
+  private val qSelectChi2Sql = {
+    // melt → one contingency pass → χ² = Σ (o−e)²/e over the FULL row×col cross
+    // (zero-observed cells contribute e), mirroring the engine's single-groupBy fold
+    val melted = chi2Feats.map(f =>
+      s"SELECT '$f' AS feature, $f::VARCHAR AS v, l::VARCHAR AS lv FROM b").mkString(" UNION ALL ")
+    s"WITH b AS ($selectorBaseSql), m AS ($melted), " +
+      "ct AS (SELECT feature, v, lv, count(*)::DOUBLE AS o FROM m GROUP BY 1, 2, 3), " +
+      "tot AS (SELECT feature, sum(o) AS t FROM ct GROUP BY 1), " +
+      "rt AS (SELECT feature, v, sum(o) AS r FROM ct GROUP BY 1, 2), " +
+      "cl AS (SELECT feature, lv, sum(o) AS c FROM ct GROUP BY 1, 2), " +
+      "cells AS (SELECT rt.feature, rt.v, cl.lv, rt.r * cl.c / tot.t AS e, coalesce(ct.o, 0.0) AS o " +
+      "FROM rt JOIN cl ON rt.feature = cl.feature JOIN tot ON tot.feature = rt.feature " +
+      "LEFT JOIN ct ON ct.feature = rt.feature AND ct.v = rt.v AND ct.lv = cl.lv), " +
+      "t AS (SELECT feature, sum((o - e) * (o - e) / e) AS stat FROM cells WHERE e > 0 GROUP BY 1), " +
+      "u AS (SELECT feature, CASE WHEN stat IS NULL OR isnan(stat) THEN 0.0 ELSE stat END AS stat FROM t), " +
+      "r AS (SELECT feature, stat, row_number() OVER (ORDER BY stat DESC, feature ASC) AS rank FROM u) " +
+      s"SELECT feature, ${r6sql("stat")} AS stat, rank FROM r ORDER BY feature"
+  }
+
   // ----------------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -525,7 +627,10 @@ object Queries {
     "q_url_canon" -> qUrlCanon,
     "q_cum_entropy" -> qCumEntropy,
     "q_rolling_pmi" -> qRollingPmi,
-    "q_arg_extreme" -> qArgExtreme) ++ DataQueries.all
+    "q_arg_extreme" -> qArgExtreme,
+    "q_select_corr" -> qSelectCorr,
+    "q_select_ttest" -> qSelectTtest,
+    "q_select_chi2" -> qSelectChi2) ++ DataQueries.all
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -555,5 +660,8 @@ object Queries {
     "q_url_canon" -> qUrlCanonSql,
     "q_cum_entropy" -> qCumEntropySql,
     "q_rolling_pmi" -> qRollingPmiSql,
-    "q_arg_extreme" -> qArgExtremeSql) ++ DataQueries.oracles
+    "q_arg_extreme" -> qArgExtremeSql,
+    "q_select_corr" -> qSelectCorrSql,
+    "q_select_ttest" -> qSelectTtestSql,
+    "q_select_chi2" -> qSelectChi2Sql) ++ DataQueries.oracles
 }

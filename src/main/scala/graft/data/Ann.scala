@@ -51,27 +51,35 @@ object Ann {
 
   /** One assignment pass: nearest centroid per corpus row.
     *
-    * Up to `maxLiteralCentroids` the centroid table (tiny by contract — it was
-    * sampled to nCentroids rows) collects to the driver and assignment is a MAP-ONLY
-    * argmax over literal vectors: no crossJoin row explosion, no shuffle-by-id
-    * window — at 10^12 corpus rows the difference between a scan and a shuffle.
-    * Beyond that, one literal cosine per centroid would blow Janino's method-size
-    * limits, so large centroid sets fall back to broadcast-crossJoin + per-id window.
-    * Note the literal path runs `cents.collect()` at PLAN TIME (eager).
+    * EAGER at plan time: runs exactly ONE `collect()` on `cents` (capped at
+    * `maxLiteralCentroids + 1` rows) to decide the path and harvest the literal
+    * vectors — pass a materialized/local centroid frame (as [[ivfTopK]] does) so the
+    * centroid lineage is not recomputed.
+    *
+    * Up to `maxLiteralCentroids` centroids, assignment is a MAP-ONLY argmax over
+    * literal vectors: no crossJoin row explosion, no shuffle-by-id window — at 10^12
+    * corpus rows the difference between a scan and a shuffle. Beyond that, one
+    * literal cosine per centroid would blow Janino's method-size limits, so large
+    * centroid sets fall back to broadcast-crossJoin + per-id window. Both paths
+    * accept any numeric array element type (float/double/int) for the centroid
+    * vector, like [[cosine]] itself.
     */
   def assign(corpus: DataFrame, cents: DataFrame, idCol: String, vecCol: String,
       maxLiteralCentroids: Int = 128): DataFrame = {
     val centNamed = cents.select(col("centroid_id"), col("__centroid"))
-    val n = centNamed.limit(maxLiteralCentroids + 1).count()
-    require(n > 0, "no centroids")
-    if (n > maxLiteralCentroids) {
+    val cRowsCapped = centNamed.limit(maxLiteralCentroids + 1).collect()
+    require(cRowsCapped.nonEmpty, "no centroids")
+    if (cRowsCapped.length > maxLiteralCentroids) {
       val scored = corpus.crossJoin(broadcast(centNamed))
         .withColumn("__sim", cosine(col(vecCol), col("__centroid")))
       val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("centroid_id").asc)
       scored.withColumn("__rk", row_number().over(w)).where(col("__rk") === 1)
         .drop("__rk", "__sim", "__centroid")
     } else {
-      val cRows = centNamed.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      // read the vector generically: float→double is exact, so the literal path is
+      // bit-identical to the crossJoin path (cosine casts to double either way)
+      val cRows = cRowsCapped.map(r =>
+        (r.getLong(0), r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue())))
       if (cRows.length == 1) corpus.withColumn("centroid_id", lit(cRows.head._1))
       else {
         // max of (sim, -centroid_id) structs = best sim, ties to the SMALLEST id
@@ -83,14 +91,19 @@ object Ann {
     }
   }
 
-  private def typedlit(v: Seq[Float]): Column = {
+  private def typedlit(v: Seq[Double]): Column = {
     import org.apache.spark.sql.functions.{typedLit => tl}
     tl(v)
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       queryIdCol: String, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
-    val cents = centroids(corpus, idCol, vecCol, nCentroids).cache()
+    // materialize the (tiny by contract) centroid table ONCE into a local relation:
+    // no cache to leak in a long-lived session, no corpus re-scan when both assign()
+    // and the probe join consume it
+    val centsDf = centroids(corpus, idCol, vecCol, nCentroids)
+    val cents = corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(centsDf.collect(): _*), centsDf.schema)
     val assigned = assign(corpus, cents, idCol, vecCol)
 
     // per query: nProbe closest centroids

@@ -127,22 +127,39 @@ object Dedup {
     * ever decrease, so an unchanged sum is a fixpoint — one cheap action per round
     * instead of a change-count join.
     *
+    * @param collectThreshold when the deduped directed-edge count is at most this
+    *        (and ids are integral), the component labels are computed by a
+    *        driver-local union-find instead of the iterative Spark rounds — a
+    *        diameter-3 toy graph otherwise pays ~5 rounds × 3 shuffles of fixed
+    *        overhead (measured: 12.6s for 2,200 edges). The result is identical; the
+    *        returned frame is a local relation, NOT persisted. 10⁶ edges ≈ 16 MB on
+    *        the driver — far below any realistic driver heap.
     * @return (id, cluster_id) for every id that appears in `pairs`; singletons (ids
     *         with no pair) are absent — callers coalesce(cluster_id, id) after a left
-    *         join, as the gate query does. The returned frame IS persisted (its
-    *         lineage spans every round); `unpersist()` it when done.
+    *         join, as the gate query does. On the DISTRIBUTED path the returned frame
+    *         IS persisted (its lineage spans every round); `unpersist()` it when done
+    *         (a no-op on the small-graph path, so callers can do it unconditionally).
     * @throws IllegalStateException if `maxIters` rounds don't converge (pointer
     *         jumping covers diameter ~2^maxIters, so this only fires on a
     *         pathological graph or a tiny maxIters) — a silent partial result would
     *         split dup clusters and keep extra copies downstream.
     */
   def dupClusters(pairs: DataFrame, idACol: String = "idA", idBCol: String = "idB",
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, collectThreshold: Long = 1000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
       .unionByName(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val idType = pairs.schema(idACol).dataType
+    val integral = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    // the count doubles as the persist materialization the first round needs anyway
+    if (integral && edges.count() <= collectThreshold) {
+      val result = localUnionFind(edges)
+      edges.unpersist()
+      return result
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -183,32 +200,97 @@ object Dedup {
     labels
   }
 
-  /** Embedding near-dup pairs: random-hyperplane (SRP) sketch buckets, exact cosine
-    * verify. Hyperplane signs are deterministic functions of (bit, dim).
+  /** Driver-local connected components for collect-small edge sets: classic
+    * union-find with path compression, roots kept at the component MIN id so the
+    * labels match the distributed min-label propagation exactly. Returns a local
+    * relation with the same (id, cluster_id) schema/types as the distributed path.
+    */
+  private def localUnionFind(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.select(col("src").cast("long"), col("dst").cast("long")).collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { // min id becomes the root, matching min-label propagation
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val spark = edges.sparkSession
+    val idType = edges.schema("src").dataType
+    val rows = new java.util.ArrayList[Row](parent.size())
+    val it = parent.keySet().iterator()
+    while (it.hasNext) {
+      val id = it.next()
+      val root = find(id)
+      rows.add(if (idType == LongType) Row(id, root) else Row(id.toInt, root.toInt))
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", idType), StructField("cluster_id", idType))))
+  }
+
+  /** Embedding near-dup pairs: BANDED random-hyperplane (SRP) sketches, exact cosine
+    * verify. `bands` independent sketch keys of `sketchBits` hyperplanes each — the
+    * MinHash-banding shape applied to SRP-LSH: two rows are candidates if ANY band
+    * key matches. With p = 1 − θ/π the per-hyperplane agreement probability,
+    * P(candidate) = 1 − (1 − p^sketchBits)^bands — sketchBits is the precision dial
+    * (wider keys keep CLUSTERED corpora from collapsing into few buckets, bounding
+    * the within-bucket quadratic verify), bands is the recall dial. A single
+    * 16-bit key (the r2 shape) is `bands = 1`; the banded default keeps exact/near
+    * copies at recall ~1 while quartering each bucket family's collision rate.
+    *
+    * The band shuffle carries only (band, bucket, id) — vectors re-attach by id
+    * strictly on the (small) candidate set, the same payload discipline as
+    * [[minhashLsh]].
     */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-      sketchBits: Int = 16, threshold: Double = 0.95): DataFrame = {
-    val s = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("__sk", srpSketch(col("v"), sketchBits))
-    val l = s.select(col("__sk"), col("id").as("idA"), col("v").as("vA"))
-    val r = s.select(col("__sk"), col("id").as("idB"), col("v").as("vB"))
-    l.join(r, Seq("__sk"))
+      sketchBits: Int = 16, threshold: Double = 0.95, bands: Int = 4): DataFrame = {
+    require(sketchBits >= 1 && sketchBits <= 62 && bands >= 1,
+      s"need 1 <= sketchBits <= 62 and bands >= 1 (got $sketchBits, $bands)")
+    val docs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = docs.select(col("id"),
+      posexplode(srpSketchBands(col("v"), sketchBits, bands)).as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("idA"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("idB"))
+    val candidates = l.join(r, Seq("band", "bucket"))
       .where(col("idA") < col("idB"))
+      .select("idA", "idB").distinct()
+    candidates
+      .join(docs.select(col("id").as("idA"), col("v").as("vA")), "idA")
+      .join(docs.select(col("id").as("idB"), col("v").as("vB")), "idB")
       .withColumn("cosine", Ann.cosine(col("vA"), col("vB")))
       .where(col("cosine") >= threshold)
       .select("idA", "idB", "cosine")
   }
 
-  /** Signed-random-projection sketch: bit i = sign(Σ_d v_d · rademacher(i, d)). */
-  def srpSketch(vec: Column, bits: Int): Column = {
+  /** Signed-random-projection sketch: bit i = sign(Σ_d v_d · rademacher(offset+i, d)).
+    * `offset` selects an independent hyperplane family, so banded callers get
+    * independent keys from one deterministic hash.
+    */
+  def srpSketch(vec: Column, bits: Int, offset: Int = 0): Column = {
     val dims = size(vec)
     val bitCols = (0 until bits).map { b =>
       val dot = aggregate(
         zip_with(vec, sequence(lit(0), dims - 1),
-          (x, d) => x * when(pmod(xxhash64(lit(b), d), lit(2)) === 0, 1.0).otherwise(-1.0)),
+          (x, d) => x * when(pmod(xxhash64(lit(offset + b), d), lit(2)) === 0, 1.0).otherwise(-1.0)),
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     bitCols.reduce((a, b) => a + b)
   }
+
+  /** `bands` independent SRP keys of `bits` hyperplanes each, as an array (band b
+    * uses hyperplanes [b·bits, (b+1)·bits)).
+    */
+  def srpSketchBands(vec: Column, bits: Int, bands: Int): Column =
+    array((0 until bands).map(b => srpSketch(vec, bits, offset = b * bits)): _*)
 }

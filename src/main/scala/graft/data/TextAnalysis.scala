@@ -82,13 +82,17 @@ object TextAnalysis {
     */
   def nfcNormalize(text: Column): Column = graft.functions.textfns.nfcNormalize(text)
 
-  /** PII masking: emails, long digit runs (phone-like), dotted quads (IP-like).
+  /** PII masking: emails, phone-like digit runs, dotted quads (IP-like).
     * Patterns restricted to syntax RE2 also supports, so the DuckDB oracle runs the
-    * identical regexes. Conservative by design — corpus curation masks aggressively.
+    * identical regexes. The phone pattern needs ≥7 digits with separator runs of at
+    * most 2 chars between them — "+1 555 123 4567" and "(555) 123-4567" match, but
+    * prose number lists with wider gaps ("1999 - 2008") no longer collapse to
+    * <PHONE>. Still aggressive by design (space-separated digit groups DO match);
+    * run maskPii AFTER numeric-sensitive analysis (token counts, word frequencies).
     */
   val piiPatterns: Seq[(String, String)] = Seq(
     ("""[\w.+-]+@[\w-]+(\.[\w-]+)+""", "<EMAIL>"),
-    ("""\+?\d[\d() -]{7,}\d""", "<PHONE>"),
+    ("""\+?\d(?:[() -]{0,2}\d){6,}""", "<PHONE>"),
     ("""\b\d{1,3}(\.\d{1,3}){3}\b""", "<IP>"))
 
   def maskPii(text: Column): Column =
