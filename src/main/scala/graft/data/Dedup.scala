@@ -160,9 +160,19 @@ object Dedup {
       edges.unpersist()
       return result
     }
-    var labels = edges.select(col("src").as("id")).distinct()
+    val spark = pairs.sparkSession
+    // `cached` is the persisted frame of the CURRENT round; `labels` is the same data
+    // behind a LogicalRDD wrapper that TRUNCATES the logical plan. Without the cut,
+    // the stepped-self-join makes the plan TREE grow ×4 per round (stepped appears
+    // twice, each holding labels twice): execution is fine (cache hits), but every
+    // plan stringification — the SQL listener does one per action — walks the full
+    // 4^round-node tree and OOMs the driver around round 8. A 100-TB graph with a
+    // long-chain component would hit exactly that, so the cut is a scale requirement,
+    // not cosmetics.
+    var cached = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = cached
     var prevSum: Option[java.math.BigDecimal] = None
     var i = 0
     var converged = false
@@ -185,8 +195,9 @@ object Dedup {
       val s = updated.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(f"[cc] round $i: ${(System.nanoTime() - t0) / 1e9}%.2fs sum=$s")
-      labels.unpersist()
-      labels = updated
+      cached.unpersist()
+      cached = updated
+      labels = spark.createDataFrame(updated.rdd, updated.schema) // the lineage cut
       // null sum = empty input (no edges at all): nothing to propagate
       converged = s == null || prevSum.contains(s)
       prevSum = Option(s)
@@ -197,7 +208,7 @@ object Dedup {
       throw new IllegalStateException(
         s"dupClusters did not converge within $maxIters rounds — partial labels would" +
           " silently split duplicate clusters; raise maxIters")
-    labels
+    cached
   }
 
   /** Driver-local connected components for collect-small edge sets: classic

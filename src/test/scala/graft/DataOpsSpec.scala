@@ -145,6 +145,68 @@ class DataOpsSpec extends SparkTestBase {
     assert(got == expected, got)
   }
 
+  test("dup clusters: distributed pointer-jumping agrees with driver-local union-find") {
+    import spark.implicits._
+    // long chain (diameter 39 — forces real pointer jumping), two cliques, a star,
+    // and bridges; run both paths on identical input
+    val chain = (100L until 139L).map(i => (i, i + 1))
+    val clique = for (a <- 200L to 204L; b <- (a + 1) to 204L) yield (a, b)
+    val star = (301L to 310L).map(i => (300L, i))
+    val bridges = Seq((139L, 200L), (204L, 300L), (400L, 401L))
+    val pairs = (chain ++ clique ++ star ++ bridges).toDF("idA", "idB")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = asMap(Dedup.dupClusters(pairs))
+    val distributed = Dedup.dupClusters(pairs, collectThreshold = 0L)
+    val distMap = asMap(distributed)
+    distributed.unpersist()
+    assert(local == distMap, s"paths disagree: $local vs $distMap")
+    // the merged chain+clique+star component labels to the chain's min id
+    assert(local(310L) == 100L && local(204L) == 100L && local(400L) == 400L)
+  }
+
+  test("banded SRP sketches: full recall on exact copies, bounded buckets on a clustered corpus") {
+    import spark.implicits._
+    // a TIGHT cluster (pairwise cosine ~0.9 — near-dup-ish but below the 0.999
+    // threshold) — the shape that collapsed the r2 single-16-bit-key sketch
+    val dim = 16
+    val u = Array.fill(dim)(1.0f)
+    val vecs = (0L until 200L).map { i =>
+      val rnd = new scala.util.Random(i) // deterministic per id
+      i -> u.map(x => x + 0.32f * rnd.nextGaussian().toFloat)
+    }
+    val base = vecs.toDF("vec_id", "embedding")
+    val withCopies = base.unionByName(
+      base.where(col("vec_id") < 5).select((col("vec_id") + 9000).as("vec_id"), col("embedding")))
+    val got = Dedup.embeddingCosinePairs(withCopies, "vec_id", "embedding",
+      sketchBits = 16, threshold = 0.999, bands = 4)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 5L).map(i => (i, i + 9000)).toSet.subsetOf(got), s"missed copies: $got")
+    // bucket-bulge bound: the largest 16-bit band bucket must hold well under half
+    // the cluster, and be no larger than the largest 4-bit bucket (wider keys can
+    // only split buckets further)
+    def maxBucket(bits: Int) = base
+      .select(posexplode(Dedup.srpSketchBands(col("embedding"), bits, 4)).as(Seq("band", "bucket")))
+      .groupBy("band", "bucket").count().agg(max("count")).head.getLong(0)
+    val wide = maxBucket(16)
+    val narrow = maxBucket(4)
+    assert(wide <= narrow, s"16-bit buckets ($wide) should not exceed 4-bit buckets ($narrow)")
+    assert(wide < 100, s"largest 16-bit bucket holds $wide of 200 clustered vectors")
+  }
+
+  test("sampling decision is total: NULL keys are kept at rate > 0, dropped at rate 0") {
+    import spark.implicits._
+    val d = Seq(Some(1L), Some(2L), None, Some(4L), None).toDF("id")
+    assert(Sampling.byHash(d, col("id"), 1.0).count() == 5)
+    assert(Sampling.byHash(d, col("id"), 0.5).where(col("id").isNull).count() == 2)
+    assert(Sampling.byHash(d, col("id"), 0.0).count() == 0)
+    val strat = Sampling.stratified(
+      d.withColumn("g", when(col("id").isNull, "x").otherwise("y")),
+      col("id"), col("g"), Map("x" -> 0.0), defaultRate = 1.0)
+    assert(strat.where(col("id").isNull).count() == 0) // stratum rate 0 drops nulls too
+    assert(strat.count() == 3)
+  }
+
   test("cleaning ops: NFC composition, PII masking, short-line stripping") {
     import spark.implicits._
     val df = Seq(
