@@ -283,25 +283,14 @@ object Dedup {
       .select("idA", "idB", "cosine")
   }
 
-  /** Signed-random-projection sketch: bit i = sign(Σ_d v_d · rademacher(offset+i, d)).
-    * `offset` selects an independent hyperplane family, so banded callers get
-    * independent keys from one deterministic hash.
-    */
-  def srpSketch(vec: Column, bits: Int, offset: Int = 0): Column = {
-    val dims = size(vec)
-    val bitCols = (0 until bits).map { b =>
-      val dot = aggregate(
-        zip_with(vec, sequence(lit(0), dims - 1),
-          (x, d) => x * when(pmod(xxhash64(lit(offset + b), d), lit(2)) === 0, 1.0).otherwise(-1.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a, b) => a + b)
-  }
+  /** Signed-random-projection sketch: bit i = sign(Σ_d v_d · rademacher(i, d)). */
+  def srpSketch(vec: Column, bits: Int): Column =
+    element_at(srpSketchBands(vec, bits, 1), 1)
 
   /** `bands` independent SRP keys of `bits` hyperplanes each, as an array (band b
-    * uses hyperplanes [b·bits, (b+1)·bits)).
+    * uses hyperplanes [b·bits, (b+1)·bits)). One codegen'd pass over the vector —
+    * see [[graft.functions.HashKernels.srpBands]].
     */
   def srpSketchBands(vec: Column, bits: Int, bands: Int): Column =
-    array((0 until bands).map(b => srpSketch(vec, bits, offset = b * bits)): _*)
+    hashfns.srpSketchBands(vec, bits, bands)
 }

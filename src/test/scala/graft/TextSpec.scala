@@ -125,7 +125,10 @@ class TextSpec extends SparkTestBase {
         textfns.charEntropy(s1).as("ent"),
         hashfns.simhash64(s1).as("sh"),
         hashfns.rollingFingerprint(s1).as("fp"),
-        hashfns.minhashSignature(s1, 3, 16).as("sig"))
+        hashfns.minhashSignature(s1, 3, 16).as("sig"),
+        hashfns.srpSketchBands(
+          org.apache.spark.sql.functions.array(col("id").cast("double"),
+            lit(1.0), -col("id").cast("double")), 16, 4).as("srp"))
       assert(df.count() == 64)
       // "*(1)" marks the WholeStageCodegen stage in the simple plan string
       assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"))
