@@ -70,11 +70,13 @@ object ScalingBench {
       val numRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
       require(numRuns >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $numRuns")
       val cores = units * execCores
-      Bench.headline(spark, urls)
+      // runs = 1 throughout: THIS loop is the best-of-N (Bench.headline's own
+      // best-of-3 default would triple each sample's wall and corrupt occupancy)
+      Bench.headline(spark, urls, runs = 1)
       val samples = (1 to numRuns).map { _ =>
         val l = graft.web.GraftMetricsListener.attach(spark)
         val t0 = System.nanoTime()
-        val (rows, rate) = Bench.headline(spark, urls)
+        val (rows, rate) = Bench.headline(spark, urls, runs = 1)
         val wallMs = (System.nanoTime() - t0) / 1e6
         Thread.sleep(300) // listener bus drain
         spark.sparkContext.removeSparkListener(l)
