@@ -15,15 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Cosine similarity of two float arrays, computed in double with a sequential fold
-    * (bit-compatible with DuckDB's list_cosine_similarity over DOUBLE[]).
+  /** Cosine similarity of two numeric arrays, computed in double with a sequential
+    * fold (bit-compatible with DuckDB's list_dot_product composition over DOUBLE[]).
+    * Native codegen'd kernel — the HOF formulation it replaces paid ~400 interpreted
+    * lambda calls per pair (see [[graft.functions.VectorKernels]]).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column = graft.functions.vecfns.cosineSim(a, b)
 
   /** @param queries rows with (queryIdCol, vecCol); must be broadcast-small
     * @return (queryId, neighborId, cosine, rank) with rank 1..k, ties broken by id

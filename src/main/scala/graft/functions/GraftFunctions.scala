@@ -27,6 +27,13 @@ object graftsql {
       build(args(0), args(1))
     })
 
+  private def intLit(name: String, e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+        org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name: $what must be an INT literal, got $other")
+  }
+
   /** Name → builder for every injectable expression. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     one("graft_simhash64", SimHash64),
@@ -36,7 +43,18 @@ object graftsql {
     two("graft_damerau_levenshtein_sim", DamerauLevenshteinSimilarity),
     two("graft_jaro_sim", JaroSimilarity),
     two("graft_jaro_winkler_sim", JaroWinklerSimilarity(_, _, 0.1)),
-    two("graft_jaccard2_sim", NgramJaccardSimilarity(_, _, 2)))
+    two("graft_jaccard2_sim", NgramJaccardSimilarity(_, _, 2)),
+    two("graft_cosine_sim", CosineSimilarity),
+    ("graft_minhash", (args: Seq[Expression]) => {
+      require(args.length == 3, s"graft_minhash(text, k, numHashes) expects 3 arguments, got ${args.length}")
+      MinHashSignature(args(0), intLit("graft_minhash", args(1), "k"),
+        intLit("graft_minhash", args(2), "numHashes"))
+    }),
+    ("graft_srp_bands", (args: Seq[Expression]) => {
+      require(args.length == 3, s"graft_srp_bands(vec, bits, bands) expects 3 arguments, got ${args.length}")
+      SrpSketchBands(args(0), intLit("graft_srp_bands", args(1), "bits"),
+        intLit("graft_srp_bands", args(2), "bands"))
+    }))
 
   def registerAll(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

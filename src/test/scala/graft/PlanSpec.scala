@@ -150,4 +150,22 @@ class PlanSpec extends SparkTestBase {
         s"band join carries text: $names")
     }
   }
+
+  test("embedding SRP band join carries ids only, never the vectors") {
+    import spark.implicits._
+    val vecs = (0L until 100L).map(i => (i, Array.fill(16)(i.toFloat + 1))).toDF("vec_id", "embedding")
+    val out = graft.data.Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding",
+      sketchBits = 16, threshold = 0.99, bands = 4)
+    val lp = out.queryExecution.optimizedPlan
+    val bandJoins = lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.references.exists(_.name == "band")) => j
+    }
+    assert(bandJoins.nonEmpty, "expected the band-bucket self-join in the plan")
+    bandJoins.foreach { j =>
+      val names = (j.left.output ++ j.right.output).map(_.name)
+      assert(!names.exists(n => Set("embedding", "v", "vA", "vB").contains(n)),
+        s"band join carries vectors: $names")
+    }
+  }
 }

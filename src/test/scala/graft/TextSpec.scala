@@ -98,7 +98,9 @@ class TextSpec extends SparkTestBase {
         "graft_char_entropy('aabb') AS ent, " +
         "graft_nfc('café') AS nfc, " +
         "graft_simhash64('hello world') AS sh, " +
-        "graft_fingerprint('hello world') AS fp").head
+        "graft_fingerprint('hello world') AS fp, " +
+        "graft_minhash('hello world', 3, 8) AS mh, " +
+        "graft_srp_bands(array(1.0D, -2.0D, 0.5D), 16, 4) AS srp").head
     assert(valueEq(r.getDouble(0), 0.944444))
     assert(valueEq(r.getDouble(1), 0.961111))
     assert(valueEq(r.getDouble(2), 1.0 - 1.0 / 6))
@@ -106,6 +108,8 @@ class TextSpec extends SparkTestBase {
     assert(r.getString(5) == "café")
     assert(r.getLong(6) == graft.functions.HashKernels.simhash64("hello world"))
     assert(r.getLong(7) == graft.functions.HashKernels.rollingFingerprint("hello world"))
+    assert(r.getSeq[Long](8).size == 8)
+    assert(r.getSeq[Long](9).size == 4)
   }
 
   test("text/hash kernels compile inside whole-stage codegen (no interpreted fallback)") {
@@ -128,7 +132,10 @@ class TextSpec extends SparkTestBase {
         hashfns.minhashSignature(s1, 3, 16).as("sig"),
         hashfns.srpSketchBands(
           org.apache.spark.sql.functions.array(col("id").cast("double"),
-            lit(1.0), -col("id").cast("double")), 16, 4).as("srp"))
+            lit(1.0), -col("id").cast("double")), 16, 4).as("srp"),
+        graft.functions.vecfns.cosineSim(
+          org.apache.spark.sql.functions.array(col("id").cast("double"), lit(1.0)),
+          org.apache.spark.sql.functions.array(col("id").cast("double"), lit(2.0))).as("cos"))
       assert(df.count() == 64)
       // "*(1)" marks the WholeStageCodegen stage in the simple plan string
       assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"))
