@@ -597,6 +597,86 @@ object Queries {
       s"SELECT feature, ${r6sql("stat")} AS stat, rank FROM r ORDER BY feature"
   }
 
+  // -------------------------------------------------- r3 gates for golden-only items
+
+  /** Grouped z-score (raw value, group stats — the reference's filtered-stats rule).
+    * IEEE division is emulated in the oracle (DuckDB's / yields NULL on zero).
+    */
+  private val qZscore = eventFeatures(Seq("value_z_score_over_user_id"),
+    _.withArithmeticAggregation("value", Seq(ops.Agg.Zscore),
+      overColumnsCombinations = Seq(Seq("user_id"))),
+    roundCols = Set("value_z_score_over_user_id"))
+  private val qZscoreSql = eventOracle(
+    "WITH b AS (SELECT event_id, value, " +
+      "value - sum(value) OVER w / count(*) OVER w AS num, stddev_samp(value) OVER w AS std " +
+      "FROM events WINDOW w AS (PARTITION BY user_id)) " +
+      "SELECT event_id, CASE WHEN std IS NULL OR isnan(num) THEN 'NaN'::DOUBLE " +
+      "WHEN std = 0 THEN (CASE WHEN num = 0 THEN 'NaN'::DOUBLE WHEN num > 0 THEN 'Infinity'::DOUBLE " +
+      "ELSE '-Infinity'::DOUBLE END) ELSE num / std END AS value_z_score_over_user_id FROM b",
+    Seq("value_z_score_over_user_id"), Set("value_z_score_over_user_id"))
+
+  /** Time diff in truncating s/h/d units over a derived second timestamp (ts +
+    * event_id % 90000 s, built identically in both engines). Hour/day truncation is
+    * toward zero (Spark double→long cast) = DuckDB trunc on these positive diffs.
+    */
+  private val qTimeDiff: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val df = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        (col("ts").cast("timestamp").cast("long") + col("event_id") % 90000)
+          .cast("timestamp").as("ts2"))
+    val schema = FeatureSchema(
+      ColumnSpec.numeric("event_id", ColRole.Identifier),
+      ColumnSpec.datetime("ts", ColRole.TimeInfo),
+      ColumnSpec.datetime("ts2"))
+    val names = Seq("ts2_total_seconds_diff_ts", "ts2_total_hours_diff_ts", "ts2_total_days_diff_ts")
+    val out = Seq("s", "h", "d").foldLeft(Pipeline(GraftDataset(df, schema, Seq("ts", "event_id")))) {
+      case (p, u) => p.withTimeDiff("ts2", "ts", unit = u)
+    }.toDF()
+    out.select((col("event_id") +: names.map(col)): _*).orderBy("event_id")
+  }
+  private val qTimeDiffSql =
+    "WITH b AS (SELECT event_id, event_id % 90000 AS secs FROM events) " +
+      "SELECT event_id, secs AS ts2_total_seconds_diff_ts, " +
+      "trunc(secs::DOUBLE / 3600)::BIGINT AS ts2_total_hours_diff_ts, " +
+      "trunc(secs::DOUBLE / 86400)::BIGINT AS ts2_total_days_diff_ts " +
+      "FROM b ORDER BY event_id"
+
+  /** Text-extraction family: length, email domain (null on no-match — planted on
+    * every third doc only), and count-matches on a char-class (codegen'd fast path),
+    * a punctuation class, and a real regex (consecutive digits).
+    */
+  private val qTextFeatures: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") < 500)
+    val t = when(col("doc_id") % 3 === 0,
+      concat(substring(col("text"), 1, 20), lit(" user"), col("doc_id"),
+        lit("@ex-"), col("doc_id"), lit(".org")))
+      .otherwise(substring(col("text"), 1, 20))
+    val df = base.select(col("doc_id"), t.as("t"))
+    val schema = FeatureSchema(
+      ColumnSpec.numeric("doc_id", ColRole.Identifier),
+      ColumnSpec.text("t"))
+    val out = Pipeline(GraftDataset(df, schema, Seq("doc_id")))
+      .withTextExtraction("t", Seq(ops.TextExtract.Length, ops.TextExtract.EmailDomain))
+      .withTextCountMatches("t", Seq("""\d""", """[.,;:!?]""", """\d{3,}"""))
+      .toDF()
+    out.select(col("doc_id"), col("t_length_chars").cast("long").as("t_length_chars"),
+        col("t_email_domain"), col("t_count_digits").cast("long").as("t_count_digits"),
+        col("t_count_punctuation").cast("long").as("t_count_punctuation"),
+        col("t_count_consecutive_digits").cast("long").as("t_count_consecutive_digits"))
+      .orderBy("doc_id")
+  }
+  private val qTextFeaturesSql =
+    "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 " +
+      "THEN substr(text, 1, 20) || ' user' || doc_id || '@ex-' || doc_id || '.org' " +
+      "ELSE substr(text, 1, 20) END AS t FROM documents WHERE doc_id < 500) " +
+      "SELECT doc_id, length(t) AS t_length_chars, " +
+      "nullif(regexp_extract(t, '@(.+)$', 1), '') AS t_email_domain, " +
+      """length(regexp_extract_all(t, '\d')) AS t_count_digits, """ +
+      "length(regexp_extract_all(t, '[.,;:!?]')) AS t_count_punctuation, " +
+      """length(regexp_extract_all(t, '\d{3,}')) AS t_count_consecutive_digits """ +
+      "FROM d ORDER BY doc_id"
+
   // ----------------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -630,7 +710,10 @@ object Queries {
     "q_arg_extreme" -> qArgExtreme,
     "q_select_corr" -> qSelectCorr,
     "q_select_ttest" -> qSelectTtest,
-    "q_select_chi2" -> qSelectChi2) ++ DataQueries.all
+    "q_select_chi2" -> qSelectChi2,
+    "q_zscore" -> qZscore,
+    "q_time_diff" -> qTimeDiff,
+    "q_text_features" -> qTextFeatures) ++ DataQueries.all
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -663,5 +746,8 @@ object Queries {
     "q_arg_extreme" -> qArgExtremeSql,
     "q_select_corr" -> qSelectCorrSql,
     "q_select_ttest" -> qSelectTtestSql,
-    "q_select_chi2" -> qSelectChi2Sql) ++ DataQueries.oracles
+    "q_select_chi2" -> qSelectChi2Sql,
+    "q_zscore" -> qZscoreSql,
+    "q_time_diff" -> qTimeDiffSql,
+    "q_text_features" -> qTextFeaturesSql) ++ DataQueries.oracles
 }
