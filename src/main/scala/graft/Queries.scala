@@ -657,11 +657,13 @@ object Queries {
       ColumnSpec.numeric("doc_id", ColRole.Identifier),
       ColumnSpec.text("t"))
     val out = Pipeline(GraftDataset(df, schema, Seq("doc_id")))
-      .withTextExtraction("t", Seq(ops.TextExtract.Length, ops.TextExtract.EmailDomain))
+      .withTextExtraction("t", Seq(ops.TextExtract.Length, ops.TextExtract.EmailDomain,
+        ops.TextExtract.CharacterEntropy))
       .withTextCountMatches("t", Seq("""\d""", """[.,;:!?]""", """\d{3,}"""))
       .toDF()
     out.select(col("doc_id"), col("t_length_chars").cast("long").as("t_length_chars"),
-        col("t_email_domain"), col("t_count_digits").cast("long").as("t_count_digits"),
+        col("t_email_domain"), r6(col("t_character_entropy")).as("t_character_entropy"),
+        col("t_count_digits").cast("long").as("t_count_digits"),
         col("t_count_punctuation").cast("long").as("t_count_punctuation"),
         col("t_count_consecutive_digits").cast("long").as("t_count_consecutive_digits"))
       .orderBy("doc_id")
@@ -669,13 +671,19 @@ object Queries {
   private val qTextFeaturesSql =
     "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 " +
       "THEN substr(text, 1, 20) || ' user' || doc_id || '@ex-' || doc_id || '.org' " +
-      "ELSE substr(text, 1, 20) END AS t FROM documents WHERE doc_id < 500) " +
-      "SELECT doc_id, length(t) AS t_length_chars, " +
+      "ELSE substr(text, 1, 20) END AS t FROM documents WHERE doc_id < 500), " +
+      // -Σ p·log2(p) over per-code-point frequencies (summation order differs from
+      // the engine's sorted fold; r6 absorbs the last-ulp drift)
+      """cf AS (SELECT doc_id, count(*)::DOUBLE AS cnt FROM (SELECT doc_id, unnest(regexp_extract_all(t, '[\s\S]')) AS ch FROM d) GROUP BY doc_id, ch), """ +
+      "cp AS (SELECT doc_id, cnt / sum(cnt) OVER (PARTITION BY doc_id) AS p FROM cf), " +
+      "ent AS (SELECT doc_id, -sum(p * log2(p)) AS ch_ent FROM cp GROUP BY doc_id) " +
+      "SELECT d.doc_id, length(t) AS t_length_chars, " +
       "nullif(regexp_extract(t, '@(.+)$', 1), '') AS t_email_domain, " +
+      s"${r6sql("coalesce(ch_ent, 0.0)")} AS t_character_entropy, " +
       """length(regexp_extract_all(t, '\d')) AS t_count_digits, """ +
       "length(regexp_extract_all(t, '[.,;:!?]')) AS t_count_punctuation, " +
       """length(regexp_extract_all(t, '\d{3,}')) AS t_count_consecutive_digits """ +
-      "FROM d ORDER BY doc_id"
+      "FROM d LEFT JOIN ent ON ent.doc_id = d.doc_id ORDER BY d.doc_id"
 
   // ----------------------------------------------------------------------- registry
 
