@@ -537,7 +537,15 @@ object Queries {
     import graft.selection.FeatureSelector
     val report = FeatureSelector.getReport(selectorDs(spark, dir),
       ColumnSelection.Many(feats.map(ColumnSelection.ByName(_))), method)
-    val rankOf = FeatureSelector.selectFeatures(report, topK = Some(feats.size))
+    // rank on the 6-dp-ROUNDED stat (name tie-break stays): the two engines agree on
+    // the raw stat only to float drift, so an unrounded rank could flip on near-tied
+    // features — rounding first makes such ties exact, then the name breaks them
+    // identically on both sides (the oracle ranks on the same rounded value)
+    def r6d(s: Double): Double =
+      if (s.isNaN || s.isInfinite) s else math.floor(s * 1e6 + 0.5) / 1e6
+    val rankOf = FeatureSelector.selectFeatures(
+        report.copy(stats = report.stats.map { case (f, s) => f -> r6d(s) }),
+        topK = Some(feats.size))
       .zipWithIndex.map { case (f, i) => f -> (i + 1L) }.toMap
     import spark.implicits._
     report.stats.map { case (f, s) => (f, s, rankOf(f)) }.toDF("feature", "stat", "rank")
@@ -545,11 +553,16 @@ object Queries {
       .orderBy("feature")
   }
 
-  /** NaN/NULL → 0 like the engine's fills, then rank + round. */
-  private def selectorRankSql(statRows: String): String =
-    s"WITH b AS ($selectorBaseSql), t AS ($statRows), " +
+  /** NaN/NULL → 0 like the engine's fills, then rank + round. `preCtes` is an
+    * optional extra CTE chain (each entry comma-terminated) between the shared base
+    * table `b` and the per-feature stat rows `t` — the single definition of the
+    * fill/rank/projection tail keeps all three method oracles on one rule. The rank
+    * orders by the ROUNDED stat, mirroring the engine-side gate (see [[qSelect]]).
+    */
+  private def selectorRankSql(statRows: String, preCtes: String = ""): String =
+    s"WITH b AS ($selectorBaseSql), ${preCtes}t AS ($statRows), " +
       "u AS (SELECT feature, CASE WHEN stat IS NULL OR isnan(stat) THEN 0.0 ELSE stat END AS stat FROM t), " +
-      "r AS (SELECT feature, stat, row_number() OVER (ORDER BY stat DESC, feature ASC) AS rank FROM u) " +
+      s"r AS (SELECT feature, stat, row_number() OVER (ORDER BY ${r6sql("stat")} DESC, feature ASC) AS rank FROM u) " +
       s"SELECT feature, ${r6sql("stat")} AS stat, rank FROM r ORDER BY feature"
 
   private val corrFeats = Seq("f_hour", "f_loge", "f_parity", "f_umod")
@@ -570,10 +583,7 @@ object Queries {
       s"SELECT '$f' AS feature, abs(mt_$f - mf_$f) / sqrt(vt_$f / nt + vf_$f / nf) AS stat FROM s")
       .mkString(" UNION ALL ")
     // Welch statistic from one per-class aggregation pass, like the engine
-    s"WITH b AS ($selectorBaseSql), s AS (SELECT ${perClass.mkString(", ")} FROM b), t AS ($statRows), " +
-      "u AS (SELECT feature, CASE WHEN stat IS NULL OR isnan(stat) THEN 0.0 ELSE stat END AS stat FROM t), " +
-      "r AS (SELECT feature, stat, row_number() OVER (ORDER BY stat DESC, feature ASC) AS rank FROM u) " +
-      s"SELECT feature, ${r6sql("stat")} AS stat, rank FROM r ORDER BY feature"
+    selectorRankSql(statRows, preCtes = s"s AS (SELECT ${perClass.mkString(", ")} FROM b), ")
   }
 
   private val chi2Feats = Seq("f_etype", "f_parity", "f_ubucket")
@@ -583,18 +593,17 @@ object Queries {
     // (zero-observed cells contribute e), mirroring the engine's single-groupBy fold
     val melted = chi2Feats.map(f =>
       s"SELECT '$f' AS feature, $f::VARCHAR AS v, l::VARCHAR AS lv FROM b").mkString(" UNION ALL ")
-    s"WITH b AS ($selectorBaseSql), m AS ($melted), " +
+    val contingency = s"m AS ($melted), " +
       "ct AS (SELECT feature, v, lv, count(*)::DOUBLE AS o FROM m GROUP BY 1, 2, 3), " +
       "tot AS (SELECT feature, sum(o) AS t FROM ct GROUP BY 1), " +
       "rt AS (SELECT feature, v, sum(o) AS r FROM ct GROUP BY 1, 2), " +
       "cl AS (SELECT feature, lv, sum(o) AS c FROM ct GROUP BY 1, 2), " +
       "cells AS (SELECT rt.feature, rt.v, cl.lv, rt.r * cl.c / tot.t AS e, coalesce(ct.o, 0.0) AS o " +
       "FROM rt JOIN cl ON rt.feature = cl.feature JOIN tot ON tot.feature = rt.feature " +
-      "LEFT JOIN ct ON ct.feature = rt.feature AND ct.v = rt.v AND ct.lv = cl.lv), " +
-      "t AS (SELECT feature, sum((o - e) * (o - e) / e) AS stat FROM cells WHERE e > 0 GROUP BY 1), " +
-      "u AS (SELECT feature, CASE WHEN stat IS NULL OR isnan(stat) THEN 0.0 ELSE stat END AS stat FROM t), " +
-      "r AS (SELECT feature, stat, row_number() OVER (ORDER BY stat DESC, feature ASC) AS rank FROM u) " +
-      s"SELECT feature, ${r6sql("stat")} AS stat, rank FROM r ORDER BY feature"
+      "LEFT JOIN ct ON ct.feature = rt.feature AND ct.v = rt.v AND ct.lv = cl.lv), "
+    selectorRankSql(
+      "SELECT feature, sum((o - e) * (o - e) / e) AS stat FROM cells WHERE e > 0 GROUP BY 1",
+      preCtes = contingency)
   }
 
   // -------------------------------------------------- r3 gates for golden-only items

@@ -23,7 +23,9 @@ object Stress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val listener = GraftMetricsListener.attach(spark)
-    val (rows, rate) = Bench.headline(spark, urls)
+    // runs = 1: the listener aggregates per-run counters, so a best-of-3 here would
+    // triple the 70M-row job AND report 3× the true per-run lineage/skew/spill totals
+    val (rows, rate) = Bench.headline(spark, urls, runs = 1)
     Thread.sleep(500)
     println(s"""{"stress_urls":$urls,"rows":$rows,"rows_per_sec":${rate.toLong},""" +
       s""""metrics":${listener.summaryJson}}""")

@@ -134,9 +134,10 @@ object Dedup {
     *        overhead (measured: 12.6s for 2,200 edges). The result is identical; the
     *        returned frame is a local relation, NOT persisted. 10⁶ edges ≈ 16 MB on
     *        the driver — far below any realistic driver heap.
-    * @return (id, cluster_id) for every id that appears in `pairs`; singletons (ids
-    *         with no pair) are absent — callers coalesce(cluster_id, id) after a left
-    *         join, as the gate query does. On the DISTRIBUTED path the returned frame
+    * @return (id, cluster_id) for every NON-NULL id that appears in `pairs` (pairs
+    *         with a null id are ignored — a null id can't identify a doc); singletons
+    *         (ids with no pair) are absent — callers coalesce(cluster_id, id) after a
+    *         left join, as the gate query does. On the DISTRIBUTED path the returned frame
     *         IS persisted (its lineage spans every round); `unpersist()` it when done
     *         (a no-op on the small-graph path, so callers can do it unconditionally).
     * @throws IllegalStateException if `maxIters` rounds don't converge (pointer
@@ -147,8 +148,12 @@ object Dedup {
   def dupClusters(pairs: DataFrame, idACol: String = "idA", idBCol: String = "idB",
       maxIters: Int = 20, collectThreshold: Long = 1000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // a null id cannot identify a document: drop such edges up front so BOTH paths
+    // agree (joins on null never match in the distributed rounds, and the local
+    // union-find would otherwise unbox null to 0L and corrupt real id 0's cluster)
     val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
       .unionByName(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val idType = pairs.schema(idACol).dataType

@@ -68,17 +68,19 @@ object HashKernels {
     * pass: band b's key bit i is the sign of Σ_d v_d · r(b·bits+i, d), with the
     * Rademacher sign r = parity of splitmix64((hyperplane << 32) ^ dim). A tight
     * O(dims · bits · bands) JVM loop — replaces bits·bands separate interpreted
-    * higher-order-function passes (measured ~20× on the embeddings table). Array
-    * elements must be non-null.
+    * higher-order-function passes (measured ~20× on the embeddings table). A null
+    * array element nulls the whole sketch (matching the replaced HOF fold — a
+    * fabricated key would silently bucket the row with unrelated vectors).
     */
-  def srpBands(vec: org.apache.spark.sql.catalyst.util.ArrayData, isFloat: Boolean,
+  def srpBands(vec: org.apache.spark.sql.catalyst.util.ArrayData, tag: Int,
       bits: Int, bands: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val total = bits * bands
     val dots = new Array[Double](total)
     val dims = vec.numElements()
     var d = 0
     while (d < dims) {
-      val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+      if (vec.isNullAt(d)) return null
+      val x = graft.functions.NumArrays.get(vec, tag, d)
       var b = 0
       while (b < total) {
         if ((splitmix64((b.toLong << 32) ^ d.toLong) & 1L) == 0L) dots(b) += x
@@ -159,24 +161,29 @@ case class SrpSketchBands(child: Expression, bits: Int, bands: Int) extends Unar
   require(bits >= 1 && bits <= 62 && bands >= 1,
     s"need 1 <= bits <= 62 and bands >= 1 (got $bits, $bands)")
 
-  private lazy val isFloat: Boolean = child.dataType match {
-    case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
-    case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, _) => false
-    case t => throw new IllegalArgumentException(
-      s"srpSketchBands needs array<float> or array<double>, got $t")
-  }
+  private lazy val tag: Int = NumArrays.tagOf(child.dataType, "srpSketchBands")
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
 
+  // null input OR any null array element → null sketch
+  override def nullable: Boolean = true
+
   override def nullSafeEval(v: Any): Any =
     HashKernels.srpBands(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      isFloat, bits, bands)
+      tag, bits, bands)
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
-    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.srpBands($c, $isFloat, $bits, $bands)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("graftSrp")
+      s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+        graft.functions.HashKernels.srpBands($c, $tag, $bits, $bands);
+      if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+      """
+    })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -4,7 +4,43 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types._
+
+/** Element access for numeric arrays of any primitive type, dispatched on a
+  * codegen-constant tag (the tag is embedded as a literal in generated code, so the
+  * JIT folds the switch away per compiled call site). This is what lets the vector
+  * kernels accept array&lt;int&gt; / array&lt;long&gt; (quantized embeddings) with the
+  * same arithmetic the old `aggregate(zip_with(.. cast("double") ..))` formulation
+  * applied — every element is widened to double before any multiply.
+  */
+object NumArrays {
+  final val TDouble = 0
+  final val TFloat  = 1
+  final val TLong   = 2
+  final val TInt    = 3
+  final val TShort  = 4
+  final val TByte   = 5
+
+  def tagOf(t: DataType, who: String): Int = t match {
+    case ArrayType(DoubleType, _)  => TDouble
+    case ArrayType(FloatType, _)   => TFloat
+    case ArrayType(LongType, _)    => TLong
+    case ArrayType(IntegerType, _) => TInt
+    case ArrayType(ShortType, _)   => TShort
+    case ArrayType(ByteType, _)    => TByte
+    case other => throw new IllegalArgumentException(
+      s"$who needs an array of a primitive numeric element type, got $other")
+  }
+
+  def get(a: ArrayData, tag: Int, i: Int): Double = tag match {
+    case TDouble => a.getDouble(i)
+    case TFloat  => a.getFloat(i).toDouble
+    case TLong   => a.getLong(i).toDouble
+    case TInt    => a.getInt(i).toDouble
+    case TShort  => a.getShort(i).toDouble
+    case _       => a.getByte(i).toDouble
+  }
+}
 
 /** Dense-vector kernels for the ANN / embedding-dedup family.
   *
@@ -19,14 +55,14 @@ object VectorKernels {
     * HOF formulation, where a null element nulls the fold). 0-length or all-zero
     * vectors yield NaN via 0/0, as before.
     */
-  def cosineBoxed(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Double = {
+  def cosineBoxed(a: ArrayData, aTag: Int, b: ArrayData, bTag: Int): java.lang.Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dotAb = 0.0; var dotAa = 0.0; var dotBb = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = NumArrays.get(a, aTag, i)
+      val y = NumArrays.get(b, bTag, i)
       dotAb += x * y
       dotAa += x * x
       dotBb += y * y
@@ -38,25 +74,20 @@ object VectorKernels {
   }
 }
 
-/** Codegen'd cosine similarity of two numeric arrays (float or double, independently
-  * per side).
+/** Codegen'd cosine similarity of two numeric arrays (any primitive numeric element
+  * type, independently per side — float embeddings and int-quantized embeddings both
+  * work, like the HOF formulation this replaced).
   */
 case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
-  private def isFloat(e: Expression, side: String): Boolean = e.dataType match {
-    case ArrayType(FloatType, _)  => true
-    case ArrayType(DoubleType, _) => false
-    case t => throw new IllegalArgumentException(
-      s"cosine $side side needs array<float> or array<double>, got $t")
-  }
-  private lazy val lFloat = isFloat(left, "left")
-  private lazy val rFloat = isFloat(right, "right")
+  private lazy val lTag = NumArrays.tagOf(left.dataType, "cosine left side")
+  private lazy val rTag = NumArrays.tagOf(right.dataType, "cosine right side")
 
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.cosineBoxed(a.asInstanceOf[ArrayData], lFloat, b.asInstanceOf[ArrayData], rFloat)
+    VectorKernels.cosineBoxed(a.asInstanceOf[ArrayData], lTag, b.asInstanceOf[ArrayData], rTag)
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
@@ -64,7 +95,7 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val tmp = ctx.freshName("graftCos")
       s"""
-      java.lang.Double $tmp = graft.functions.VectorKernels.cosineBoxed($a, $lFloat, $b, $rFloat);
+      java.lang.Double $tmp = graft.functions.VectorKernels.cosineBoxed($a, $lTag, $b, $rTag);
       if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
       """
     })

@@ -165,6 +165,24 @@ class DataOpsSpec extends SparkTestBase {
     assert(local(310L) == 100L && local(204L) == 100L && local(400L) == 400L)
   }
 
+  test("dup clusters: null-id pairs are ignored identically on both paths") {
+    import spark.implicits._
+    // (null, 5) must neither unbox to id 0 (local path) nor leak a null-labeled row
+    // (distributed path); id 0 is present as a REAL node to catch the 0L corruption
+    val pairs = Seq(
+      (Some(0L), Some(1L)), (None, Some(5L)), (Some(5L), None), (None: Option[Long], None: Option[Long]),
+      (Some(7L), Some(8L))).toDF("idA", "idB")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = asMap(Dedup.dupClusters(pairs))
+    val distributed = Dedup.dupClusters(pairs, collectThreshold = 0L)
+    val distMap = asMap(distributed)
+    distributed.unpersist()
+    val expected = Map(0L -> 0L, 1L -> 0L, 7L -> 7L, 8L -> 7L)
+    assert(local == expected, local)
+    assert(distMap == expected, distMap)
+  }
+
   test("banded SRP sketches: full recall on exact copies, bounded buckets on a clustered corpus") {
     import spark.implicits._
     // a TIGHT cluster (pairwise cosine ~0.9 — near-dup-ish but below the 0.999

@@ -145,4 +145,31 @@ class TextSpec extends SparkTestBase {
       assert(r.getSeq[Long](7).size == 16)
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
+
+  test("vector kernels accept integer arrays and null elements null the result") {
+    import org.apache.spark.sql.functions.{array, col, expr, lit}
+    import graft.functions.{hashfns, vecfns}
+    // int/long-quantized embeddings compute the same cosine and SRP keys as the
+    // identical values in double arrays (every element widens to double first)
+    val df = spark.range(1, 8).select(
+      vecfns.cosineSim(
+        array(col("id").cast("int"), lit(3).cast("int")),
+        array(lit(2).cast("int"), col("id").cast("int"))).as("cos_int"),
+      vecfns.cosineSim(
+        array(col("id").cast("double"), lit(3.0)),
+        array(lit(2.0), col("id").cast("double"))).as("cos_dbl"),
+      hashfns.srpSketchBands(array(col("id").cast("long"), lit(-3L), lit(7L)), 16, 4).as("srp_long"),
+      hashfns.srpSketchBands(array(col("id").cast("double"), lit(-3.0), lit(7.0)), 16, 4).as("srp_dbl"),
+      vecfns.cosineSim(
+        expr("array(cast(id as double), cast(null as double))"),
+        array(lit(1.0), lit(2.0))).as("cos_null"),
+      hashfns.srpSketchBands(
+        expr("array(cast(id as double), cast(null as double))"), 16, 4).as("srp_null"))
+    df.collect().foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "int cosine != double cosine")
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), "long SRP keys != double SRP keys")
+      assert(r.isNullAt(4), "cosine over a null element must be null")
+      assert(r.isNullAt(5), "SRP sketch over a null element must be null, not a fabricated key")
+    }
+  }
 }
