@@ -40,7 +40,8 @@ final case class RollingSpec(indexColumn: String, seconds: Long, label: String)
 final case class AggContext(
     partitionBy: Seq[String],
     orderBy: Seq[String],
-    rolling: Option[RollingSpec]) {
+    rolling: Option[RollingSpec],
+    alignedIndex: Option[String] = None) {
 
   def partCols: Seq[Column] = partitionBy.map(col)
   def orderCols: Seq[Column] = orderBy.map(col)
@@ -48,8 +49,24 @@ final case class AggContext(
   private def base(extraParts: Seq[Column] = Nil): WindowSpec =
     Window.partitionBy(partCols ++ extraParts: _*)
 
+  /** When `alignedIndex = Some(idx)` and `idx` leads `orderBy`, every sequential/row
+    * window orders by `(__graft_ord_idx, orderBy…)` and every range window over `idx`
+    * orders by the same `__graft_ord_idx` attribute (see [[AggContext.alignedName]]).
+    * Epoch-second truncation is monotone in the timestamp, so prefixing it changes NO
+    * feature value — but it lets ONE physical Sort serve both the row-frame windows
+    * (whose ordering extends the prefix) and the range-frame windows (whose required
+    * ordering IS the prefix). Without it the plan pays a fresh in-partition sort per
+    * frame family: Catalyst extracts each window's inline `cast(ts as long)` as a
+    * distinct attribute, so orderings that are semantically nested never match.
+    */
+  private def alignedPrefix: Seq[Column] = alignedIndex match {
+    case Some(idx) if orderBy.headOption.contains(idx) => Seq(col(AggContext.alignedName(idx)))
+    case _ => Nil
+  }
+
   /** Sequential window (lag / row_number). */
-  def seqW(extraParts: Seq[Column] = Nil): WindowSpec = base(extraParts).orderBy(orderCols: _*)
+  def seqW(extraParts: Seq[Column] = Nil): WindowSpec =
+    base(extraParts).orderBy(alignedPrefix ++ orderCols: _*)
 
   /** Whole-partition frame, deterministically ordered. */
   def fullW(extraParts: Seq[Column] = Nil): WindowSpec =
@@ -71,7 +88,11 @@ final case class AggContext(
   def rangeW(r: RollingSpec, exclusive: Boolean, extraParts: Seq[Column] = Nil): WindowSpec = {
     // timestamp (with or without tz) → epoch seconds; NTZ interpreted in the
     // session time zone (pinned UTC in build.sbt)
-    val w = base(extraParts).orderBy(col(r.indexColumn).cast("timestamp").cast("long"))
+    val ordCol = alignedIndex match {
+      case Some(idx) if idx == r.indexColumn => col(AggContext.alignedName(idx))
+      case _ => col(r.indexColumn).cast("timestamp").cast("long")
+    }
+    val w = base(extraParts).orderBy(ordCol)
     if (exclusive) w.rangeBetween(-(r.seconds - 1), -1) else w.rangeBetween(-(r.seconds - 1), 0)
   }
 
@@ -90,6 +111,17 @@ final case class AggContext(
     * a regular aggregation + broadcast cross-join instead of a single-partition window.
     */
   def isGlobal: Boolean = partitionBy.isEmpty && rolling.isEmpty
+}
+
+object AggContext {
+  /** Name of the materialized epoch-seconds twin of time-index column `idx`. The
+    * column MUST hold exactly `col(idx).cast("timestamp").cast("long")`. The Pipeline
+    * materializes (and drops) it automatically for layers that mix rolling and
+    * running windows; callers composing their OWN windows around a pipeline (e.g. the
+    * web point-in-time job) pre-materialize it under this name so their windows share
+    * the pipeline's single sort — a pre-existing column is reused and left in place.
+    */
+  def alignedName(idx: String): String = s"__graft_ord_$idx"
 }
 
 /** One derived temp/output column within a feature's staged computation. Spark forbids

@@ -253,12 +253,41 @@ final class Pipeline private (
     new Pipeline(dataset.withSchema(newSchema), layers :+ Vector.empty, optimizer, auxiliaryColumns)
   }
 
-  /** Lower all layers to a Spark plan. Still lazy — no action is triggered. */
+  /** Rolling index columns used anywhere in a transformer's wrapper chain. */
+  private def rollingIndexes(t: FeatureTransformer): Seq[String] = t match {
+    case r: RollingWrapper => r.indexColumn.name +: rollingIndexes(r.inner)
+    case o: OverWrapper    => rollingIndexes(o.inner)
+    case _                 => Nil
+  }
+
+  /** Lower all layers to a Spark plan. Still lazy — no action is triggered.
+    *
+    * Sort alignment: a layer whose rolling windows roll on the leading order column
+    * materializes that column's epoch-seconds twin ([[AggContext.alignedName]]) and
+    * orders EVERY window in the layer by it first — one physical Sort then serves the
+    * row-frame and the range-frame families alike (see [[AggContext.seqW]]). If the
+    * caller already materialized the twin, it is reused and kept; otherwise it is
+    * created per layer and dropped.
+    */
   def collectPlan(cacheComputation: Boolean = false): GraftDataset = {
     val namer = new TempNamer
     var df = dataset.df
     layers.foreach { layer =>
-      df = FeatureExec.applyPlans(df, layer.map(_.plan(ctx, namer)))
+      val align = dataset.orderBy.headOption
+        .filter(idx => layer.exists(t => rollingIndexes(t).contains(idx)))
+      align match {
+        case Some(idx) =>
+          val name = AggContext.alignedName(idx)
+          val preexisting = df.columns.contains(name)
+          if (!preexisting)
+            df = df.withColumn(name, org.apache.spark.sql.functions.col(idx)
+              .cast("timestamp").cast("long"))
+          df = FeatureExec.applyPlans(df,
+            layer.map(_.plan(ctx.copy(alignedIndex = Some(idx)), namer)))
+          if (!preexisting) df = df.drop(name)
+        case None =>
+          df = FeatureExec.applyPlans(df, layer.map(_.plan(ctx, namer)))
+      }
     }
     val currentOut = FeatureSchema.of(currentLayer.map(_.outputSpec))
     var out = GraftDataset(df, dataset.schema ++ currentOut, dataset.orderBy)

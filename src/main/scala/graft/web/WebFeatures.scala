@@ -30,7 +30,13 @@ object WebFeatures {
     * sort volume (measured ~60% of input bytes)
     */
   def pointInTime(pages: DataFrame, sessionGapSeconds: Long = 2 * 86400L): DataFrame = {
-    val slim = pages.select(pages.columns.filterNot(_ == "html").map(col): _*)
+    val slim0 = pages.select(pages.columns.filterNot(_ == "html").map(col): _*)
+    // pre-materialize warc_ts's epoch-seconds twin (AggContext.alignedName contract):
+    // the pipeline's rolling + running windows AND the bespoke lag/sessionize windows
+    // below all order by (twin, warc_ts, url), so the ENTIRE per-url feature chain —
+    // six window families — rides one shuffle + ONE sort (was three sorts)
+    val ordName = AggContext.alignedName("warc_ts")
+    val slim = slim0.withColumn(ordName, col("warc_ts").cast("timestamp").cast("long"))
     // scalar text-derived columns first (become pipeline inputs in the next layer)
     val ds = GraftDataset(slim, pageSchema, orderBy = Seq("warc_ts", "url"))
     val withFeatures = Pipeline(ds)
@@ -53,7 +59,7 @@ object WebFeatures {
     // The independent lag features are computed BEFORE sessionization so Catalyst's
     // CollapseWindow merges them into sessionize's first (independent) window node
     // instead of trailing its dependent second stage.
-    val order = Seq("warc_ts", "url")
+    val order = Seq(ordName, "warc_ts", "url")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("url"))
       .orderBy(order.map(col(_).asc): _*)
     val withLags = withFeatures
@@ -64,6 +70,7 @@ object WebFeatures {
         col("warc_ts").cast("long") - lag(col("warc_ts"), 1).over(w).cast("long"))
     Sessionize.withSessionIds(withLags, Seq("url"), "warc_ts",
       sessionGapSeconds, orderBy = order)
+      .drop(ordName)
   }
 
   /** Extract the text payload from a raw `html` BINARY column: UTF-8 decode, take the

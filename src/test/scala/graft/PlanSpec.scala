@@ -23,12 +23,40 @@ class PlanSpec extends SparkTestBase {
     val df = WebFeatures.pointInTime(pages)
     val p = plan(df)
     // dependent window stages may not merge, but they must REUSE the (url) sort:
-    // exchanges = generator's url_id shuffle + ONE url shuffle, and ≤4 sorts
-    // (generator, url, url+rolling-long-key; the rolling re-sort is within-partition)
+    // exchanges = generator's url_id shuffle + ONE url shuffle. Sort alignment
+    // (AggContext.alignedName) puts the epoch-seconds twin first in every window
+    // ordering, so the row-frame families, the 7d/30d range family, the lag family,
+    // and sessionize ALL share one in-partition sort: ≤2 sorts total (generator's +
+    // the family's) — without alignment this plan paid three.
     val exchanges = count(p, "Exchange hashpartitioning")
     val sorts = count(p, "Sort [")
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n${p.take(4000)}")
-    assert(sorts <= 4, s"expected <=4 sorts, got $sorts")
+    assert(sorts <= 2, s"expected <=2 sorts, got $sorts")
+  }
+
+  test("mixed rolling + running pipeline features share one in-partition sort") {
+    val ds = GraftDataset(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "ts", "user_id", "value"),
+      FeatureSchema(
+        ColumnSpec.numeric("event_id", ColRole.Identifier),
+        ColumnSpec.datetime("ts", ColRole.TimeInfo),
+        ColumnSpec.numeric("user_id"),
+        ColumnSpec.numeric("value")),
+      orderBy = Seq("ts", "event_id"))
+    val df = Pipeline(ds)
+      .withCount(overColumnsCombinations = Seq(Seq("user_id")), cumulative = Cum.Inclusive)
+      .withLagged("value", Seq(1), overColumnsCombinations = Seq(Seq("user_id")))
+      .withCount(overColumnsCombinations = Seq(Seq("user_id")),
+        timeWindows = Seq("7d"), indexColumnName = Some("ts"))
+      .toDF()
+    val p = plan(df)
+    val sorts = count(p, "Sort [")
+    val exchanges = count(p, "Exchange hashpartitioning")
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges")
+    assert(sorts == 1, s"aligned orderings must share ONE sort, got $sorts:\n${p.take(4000)}")
+    // the internal aligned twin must not leak into the output
+    assert(!df.columns.exists(_.startsWith("__graft_ord_")), df.columns.mkString(","))
   }
 
   test("feature count does not drive exchange count") {
