@@ -28,7 +28,7 @@ object Bench {
     * only be slowed down, never sped up — so the max rate over a few runs is the
     * honest estimate of what the engine does, same policy ScalingBench uses.
     */
-  def headline(spark: SparkSession, numUrls: Long, runs: Int = 3): (Long, Double) = {
+  def headline(spark: SparkSession, numUrls: Long, runs: Int = 5): (Long, Double) = {
     val (pagesDir, eventsDir) = ensureTables(spark, numUrls)
     val pages = spark.read.parquet(pagesDir)
     val events = spark.read.parquet(eventsDir)

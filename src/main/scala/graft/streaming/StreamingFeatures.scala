@@ -129,4 +129,30 @@ object StreamingFeatures {
       .groupBy(col("url"), window(col("warc_ts"), windowDuration))
       .agg(count(lit(1)).as("snapshots_in_window"),
         approx_count_distinct(col("lang")).as("langs_in_window"))
+
+  /** Streaming counterpart of [[graft.web.Sessionize.sessionStats]]: one row per
+    * CLOSED (key, session), via Spark's native `session_window` — sessions merge as
+    * events arrive and a session emits once the watermark passes its end + gap, after
+    * which its state is evicted (bounded state at any corpus rate; the
+    * mapGroupsWithState path in [[features]] assigns per-ROW ids instead and never
+    * closes sessions). Same gap semantics as the batch operator: an event at exactly
+    * `gapSeconds` after the previous one still EXTENDS the session (batch cuts only
+    * on `delta > gap`), hence the `gap + 1s` window. Exact parity holds at
+    * whole-second timestamps (the page table's granularity); with fractional seconds
+    * the batch operator compares FLOOR-second deltas while `session_window` measures
+    * real time, so events within the same second can group differently.
+    */
+  def sessionStats(pages: Dataset[PageEvent], gapSeconds: Long,
+      watermark: String): org.apache.spark.sql.DataFrame =
+    pages.toDF()
+      .withWatermark("warc_ts", watermark)
+      .groupBy(col("url"), session_window(col("warc_ts"), s"${gapSeconds + 1} seconds"))
+      .agg(
+        count(lit(1)).as("session_num_events"),
+        min(col("warc_ts")).as("session_start"),
+        max(col("warc_ts")).as("session_end"))
+      .select(col("url"), col("session_num_events"), col("session_start"),
+        col("session_end"),
+        (col("session_end").cast("timestamp").cast("long") -
+          col("session_start").cast("timestamp").cast("long")).as("session_duration_seconds"))
 }

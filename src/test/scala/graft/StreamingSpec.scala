@@ -54,6 +54,48 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("session_window stats match batch sessionStats on closed sessions") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val gap = 2 * 86400L
+    val pages = Pages.generate(spark, numUrls = 80, seed = 17L, numPartitions = 2)
+      .select(col("url"), col("warc_ts"), col("text"), col("lang"))
+      .as[PageEvent]
+    val rows = pages.collect().sortBy(e => (e.warc_ts.getTime, e.url))
+    val batch = graft.web.Sessionize.sessionStats(pages.toDF(), Seq("url"), "warc_ts", gap,
+        orderBy = Seq("warc_ts", "url"))
+      .select(col("url"), col("session_num_events"), col("session_start"),
+        col("session_end"), col("session_duration_seconds"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getLong(4))).toSet
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[PageEvent]
+    val query = StreamingFeatures.sessionStats(input.toDS(), gap, watermark = "1 second")
+      .writeStream.format("memory").queryName("stream_sessions")
+      .outputMode("append").start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      input.addData(first.toSeq); query.processAllAvailable()
+      input.addData(second.toSeq); query.processAllAvailable()
+      // two far-future sentinels on a throwaway url push the watermark past every
+      // real session's end+gap so they all CLOSE and emit (append mode emits only
+      // closed sessions); the sentinel's own session stays open and never emits
+      val maxTs = rows.map(_.warc_ts.getTime).max
+      val s1 = PageEvent("__sentinel", new Timestamp(maxTs + 100L * 86400_000L), "x", "en")
+      val s2 = PageEvent("__sentinel", new Timestamp(maxTs + 101L * 86400_000L), "x", "en")
+      input.addData(Seq(s1)); query.processAllAvailable()
+      input.addData(Seq(s2)); query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.table("stream_sessions")
+      .where(col("url") =!= "__sentinel")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getLong(4))).toSet
+    assert(streamed == batch,
+      s"closed streaming sessions diverge from batch: missing=${batch -- streamed} extra=${streamed -- batch}")
+  }
+
   test("streaming as-of backfill matches the batch as-of join row for row") {
     import spark.implicits._
     import graft.streaming.StreamingFeatures.{BackfilledEvent, TimelineRow}
