@@ -43,6 +43,14 @@ object ScalingBench {
           // executors are fresh JVMs: they need this build's classes and the JDK17 opens
           .config("spark.executor.extraClassPath", "/root/repo/target/scala-2.13/classes")
           .config("spark.executor.extraJavaOptions",
+            // SPARK_GRAFT_CAP_EXEC_PROCS=1 → cgroup-faithful thread sizing: without
+            // it every executor JVM sees all host cores and sizes GC/JIT/netty pools
+            // for 32, so 4 executors oversubscribe the box exactly when the 4N level
+            // runs (a real container-limited executor would not). Opt-in because the
+            // recorded BASELINE.md runs predate it and one noisy A/B was
+            // inconclusive — flip it on a quiet host to re-test.
+            (if (sys.env.get("SPARK_GRAFT_CAP_EXEC_PROCS").contains("1"))
+              s"-XX:ActiveProcessorCount=$execCores " else "") +
             "-XX:+IgnoreUnrecognizedVMOptions --add-opens=java.base/java.lang=ALL-UNNAMED " +
               "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED " +
               "--add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED " +
