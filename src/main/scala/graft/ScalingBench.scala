@@ -43,13 +43,15 @@ object ScalingBench {
           // executors are fresh JVMs: they need this build's classes and the JDK17 opens
           .config("spark.executor.extraClassPath", "/root/repo/target/scala-2.13/classes")
           .config("spark.executor.extraJavaOptions",
-            // SPARK_GRAFT_CAP_EXEC_PROCS=1 → cgroup-faithful thread sizing: without
-            // it every executor JVM sees all host cores and sizes GC/JIT/netty pools
-            // for 32, so 4 executors oversubscribe the box exactly when the 4N level
-            // runs (a real container-limited executor would not). Opt-in because the
-            // recorded BASELINE.md runs predate it and one noisy A/B was
-            // inconclusive — flip it on a quiet host to re-test.
-            (if (sys.env.get("SPARK_GRAFT_CAP_EXEC_PROCS").contains("1"))
+            // Cgroup-faithful thread sizing (default ON; SPARK_GRAFT_CAP_EXEC_PROCS=0
+            // disables): without it every executor JVM sees all 32 host cores and
+            // sizes GC/JIT/netty pools for the full machine — 4 executors' pools
+            // then oversubscribe the box exactly when the 4N level runs, and the
+            // LONE N-level executor silently borrows idle host cores for GC/JIT
+            // that no container-limited cluster executor would get. Back-to-back
+            // A/B (BENCH/BASELINE.md round 3): capping raised the 4N best RAW rate
+            // 1.82M→2.00M rows/s and its occupancy 0.80→0.92.
+            (if (!sys.env.get("SPARK_GRAFT_CAP_EXEC_PROCS").contains("0"))
               s"-XX:ActiveProcessorCount=$execCores " else "") +
             "-XX:+IgnoreUnrecognizedVMOptions --add-opens=java.base/java.lang=ALL-UNNAMED " +
               "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED " +
