@@ -81,7 +81,7 @@ object ScalingBench {
       require(numRuns >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $numRuns")
       val cores = units * execCores
       // runs = 1 throughout: THIS loop is the best-of-N (Bench.headline's own
-      // best-of-3 default would triple each sample's wall and corrupt occupancy)
+      // best-of-5 default would 5x each sample's wall and corrupt occupancy)
       Bench.headline(spark, urls, runs = 1)
       val samples = (1 to numRuns).map { _ =>
         val l = graft.web.GraftMetricsListener.attach(spark)

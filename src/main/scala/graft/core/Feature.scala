@@ -115,11 +115,15 @@ final case class AggContext(
 
 object AggContext {
   /** Name of the materialized epoch-seconds twin of time-index column `idx`. The
-    * column MUST hold exactly `col(idx).cast("timestamp").cast("long")`. The Pipeline
-    * materializes (and drops) it automatically for layers that mix rolling and
-    * running windows; callers composing their OWN windows around a pipeline (e.g. the
-    * web point-in-time job) pre-materialize it under this name so their windows share
-    * the pipeline's single sort — a pre-existing column is reused and left in place.
+    * Pipeline materializes (and drops) it automatically for layers that mix rolling
+    * and running windows; callers composing their OWN windows around a pipeline
+    * (e.g. the web point-in-time job) pre-materialize it under this name so their
+    * windows share the pipeline's single sort — a pre-existing column is then left
+    * in place for the caller to drop. The pipeline always (re)assigns the canonical
+    * `col(idx).cast("timestamp").cast("long")` expression under this name rather
+    * than trusting found values. The `__graft_` prefix is the engine's RESERVED
+    * column namespace (temp stages use it too): user columns under it may be
+    * overwritten or dropped by any pipeline run.
     */
   def alignedName(idx: String): String = s"__graft_ord_$idx"
 }

@@ -279,9 +279,14 @@ final class Pipeline private (
         case Some(idx) =>
           val name = AggContext.alignedName(idx)
           val preexisting = df.columns.contains(name)
-          if (!preexisting)
-            df = df.withColumn(name, org.apache.spark.sql.functions.col(idx)
-              .cast("timestamp").cast("long"))
+          // ALWAYS (re)materialize the canonical expression — never trust a
+          // same-named column's values: idempotent when the caller pre-materialized
+          // it correctly (windows resolve the name to this fresh attribute either
+          // way, so the sort is still shared), self-healing when something stale
+          // sits under the reserved `__graft_` namespace. `preexisting` only
+          // decides ownership: a caller-provided twin stays in the frame for the
+          // caller's own windows; a pipeline-created one is dropped.
+          df = df.withColumn(name, col(idx).cast("timestamp").cast("long"))
           df = FeatureExec.applyPlans(df,
             layer.map(_.plan(ctx.copy(alignedIndex = Some(idx)), namer)))
           if (!preexisting) df = df.drop(name)
