@@ -290,11 +290,23 @@ final case class PmiTransformer(a: ColumnSpec, b: ColumnSpec, cumulative: Cum = 
   def plan(ctx: AggContext, tmp: TempNamer): FeaturePlan = {
     if (ctx.rolling.isDefined && cumulative != Cum.None) unsupported("rolling cumulative PMI")
     val ca = col(a.name); val cb = col(b.name)
-    val total = countOver(ctx, cumulative, cond).cast("double")
-    val pa = ieeeDiv(countOver(ctx, cumulative, cond, Seq(ca)), total)
-    val pb = ieeeDiv(countOver(ctx, cumulative, cond, Seq(cb)), total)
-    val pab = ieeeDiv(countOver(ctx, cumulative, cond, Seq(ca, cb)), total)
-    simple(ieeeLog2(ieeeDiv(pab, pa * pb)))
+    def terms(total: Column): Column = {
+      val pa = ieeeDiv(countOver(ctx, cumulative, cond, Seq(ca)), total)
+      val pb = ieeeDiv(countOver(ctx, cumulative, cond, Seq(cb)), total)
+      val pab = ieeeDiv(countOver(ctx, cumulative, cond, Seq(ca, cb)), total)
+      ieeeLog2(ieeeDiv(pab, pa * pb))
+    }
+    if (cumulative == Cum.None && ctx.isGlobal) {
+      // the denominator N is a whole-dataset scalar: broadcast it (partial agg +
+      // tiny cross join) instead of a NO-partition full-frame window, which would
+      // funnel the entire table through one task. The per-value numerator windows
+      // partition by their conditioning columns and stay hash-distributed.
+      val t = tmp.fresh("pmi_n")
+      FeaturePlan(outputName, outputSpec,
+        Vector(Vector(GlobalScalar(t, countAgg(cond)))),
+        terms(col(t).cast("double")))
+    } else
+      simple(terms(countOver(ctx, cumulative, cond).cast("double")))
   }
 }
 

@@ -34,6 +34,20 @@ class PlanSpec extends SparkTestBase {
     assert(sorts <= 2, s"expected <=2 sorts, got $sorts")
   }
 
+  test("global (no-over) PMI broadcasts its total — no whole-table window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q_pmi")(spark, "/root/testdata/sf0.001")
+    // a Window node with an EMPTY partition spec funnels the entire table through
+    // one task; the global denominator must ride the GlobalScalar broadcast path.
+    // (The per-value numerators keep windows partitioned by their conditioning
+    // columns, and the scalar's own tiny final aggregate is allowed.)
+    val unpartitioned = df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      s"found ${unpartitioned.size} whole-table Window node(s):\n${unpartitioned.mkString("\n").take(1500)}")
+  }
+
   test("mixed rolling + running pipeline features share one in-partition sort") {
     val ds = GraftDataset(
       spark.read.parquet("/root/testdata/sf0.001/events.parquet")
