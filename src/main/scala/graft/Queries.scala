@@ -694,9 +694,36 @@ object Queries {
       """length(regexp_extract_all(t, '\d{3,}')) AS t_count_consecutive_digits """ +
       "FROM d LEFT JOIN ent ON ent.doc_id = d.doc_id ORDER BY d.doc_id"
 
+  /** GLOBAL running aggregates via the scalable prefix operator (range partition +
+    * partition-local fold + broadcast offsets — graft.web.PrefixAgg) against
+    * DuckDB's sequential global window. Forces several range partitions so the
+    * cross-partition offset arithmetic is actually exercised at gate scale.
+    */
+  private val qGlobalCum: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import graft.web.PrefixAgg
+    import graft.web.PrefixAgg.{Op, RunningSpec}
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    PrefixAgg.running(df, Seq("ts", "event_id"), Seq(
+        PrefixAgg.runningCount("cum_count"),
+        RunningSpec(Op.Sum, "value", "cum_value_sum"),
+        RunningSpec(Op.Min, "value", "cum_value_min"),
+        RunningSpec(Op.Max, "value", "cum_value_max")),
+      numRanges = 16)
+      .select(col("event_id"), col("cum_count"), r6(col("cum_value_sum")).as("cum_value_sum"),
+        col("cum_value_min"), col("cum_value_max"))
+      .orderBy("event_id")
+  }
+  private val qGlobalCumSql =
+    "SELECT event_id, count(*) OVER w AS cum_count, " +
+      s"${r6sql("sum(value) OVER w")} AS cum_value_sum, " +
+      "min(value) OVER w AS cum_value_min, max(value) OVER w AS cum_value_max " +
+      "FROM events WINDOW w AS (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+      "ORDER BY event_id"
+
   // ----------------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_global_cum" -> qGlobalCum,
     "q1_agg" -> q1Agg,
     "q_count_over" -> qCountOver,
     "q_cum_count" -> qCumCount,
@@ -733,6 +760,7 @@ object Queries {
     "q_text_features" -> qTextFeatures) ++ DataQueries.all
 
   val oracles: Map[String, String] = Map(
+    "q_global_cum" -> qGlobalCumSql,
     "q1_agg" -> q1AggSql,
     "q_count_over" -> qCountOverSql,
     "q_cum_count" -> qCumCountSql,

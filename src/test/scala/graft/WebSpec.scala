@@ -210,6 +210,55 @@ class WebSpec extends SparkTestBase {
       .map(_.getString(0)).toSet == firstHalf.toSet)
   }
 
+  test("prefix running aggregates equal a sequential global window, across partitions") {
+    import graft.web.PrefixAgg
+    import graft.web.PrefixAgg.{Op, RunningSpec}
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // leading null region in BOTH the order key (ids 0-2: null k, NULLS FIRST
+    // bucket) and the value (ids 0-9: null v — null-until-first-value across range
+    // boundaries); 7 forced ranges on 200 rows so offsets really compose
+    val df = spark.range(200).select(
+      col("id"),
+      when(col("id") < 3, lit(null).cast("double"))
+        .otherwise(floor(col("id") / 3).cast("double")).as("k"),
+      when(col("id") < 10, lit(null).cast("double"))
+        .otherwise(sin(col("id").cast("double")) * 100).as("v"))
+    val got = PrefixAgg.running(df, Seq("k", "id"), Seq(
+        PrefixAgg.runningCount("c"),
+        RunningSpec(Op.Sum, "v", "s"),
+        RunningSpec(Op.Min, "v", "mn"),
+        RunningSpec(Op.Max, "v", "mx")),
+      numRanges = 7)
+    val w = Window.orderBy(col("k").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.select(col("id"),
+      count(lit(1)).over(w).as("c"), sum("v").over(w).as("s"),
+      min("v").over(w).as("mn"), max("v").over(w).as("mx"))
+    val g = got.select("id", "c", "s", "mn", "mx").orderBy("id").collect()
+    val e = want.orderBy("id").collect()
+    assert(g.length == e.length)
+    g.zip(e).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1),
+        s"count mismatch at ${a.getLong(0)}")
+      Seq(2, 3, 4).foreach { i =>
+        val (x, y) = (a.isNullAt(i), b.isNullAt(i))
+        assert(x == y, s"null mismatch col $i at id ${a.getLong(0)}")
+        // sum reassociates once per partition boundary; min/max are exact
+        if (!x) assert(math.abs(a.getDouble(i) - b.getDouble(i)) < 1e-9,
+          s"value mismatch col $i at id ${a.getLong(0)}: ${a.getDouble(i)} vs ${b.getDouble(i)}")
+      }
+    }
+    // plan shape: the data shuffles ONCE on the deterministic range-id column; the
+    // only unpartitioned window runs over the per-range totals (range-count rows),
+    // and the offsets come back via broadcast — nothing funnels the full table
+    // through one task
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__graft_prefix_rid"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+  }
+
   test("metrics listener captures per-task lineage and skew ratio") {
     val l = GraftMetricsListener.attach(spark)
     pages.groupBy("domain_id").count().count()
