@@ -116,10 +116,13 @@ object PrefixAgg {
       if (bounds.isEmpty) lit(0)
       else ColumnBridge.column(RangeBucket(ColumnBridge.expression(keyD), bounds))
 
-    val inNames = specs.map(s => s"__graft_prefix_in_${s.out}")
+    // numeric inputs pre-cast to double (Count needs no input column at all)
+    val inName: Map[String, String] = specs.collect {
+      case s if s.op != Op.Count => s.out -> s"__graft_prefix_in_${s.out}"
+    }.toMap
     val grouped = df
-      .withColumns(specs.zip(inNames).map { case (s, n) =>
-        n -> (if (s.op == Op.Count) lit(null).cast("double") else col(s.input).cast("double"))
+      .withColumns(specs.collect { case s if s.op != Op.Count =>
+        inName(s.out) -> col(s.input).cast("double")
       }.toMap)
       .withColumn(rid, ridCol)
       .repartition(ranges, col(rid))
@@ -137,8 +140,8 @@ object PrefixAgg {
     val fieldIdx = grouped.schema.fieldNames.zipWithIndex.toMap
     val ridIdx = fieldIdx(rid)
     val ops: Array[Op] = specs.map(_.op).toArray
-    val inputIdx: Array[Int] = specs.zip(inNames).map { case (s, n) =>
-      if (s.op == Op.Count) -1 else fieldIdx(n)
+    val inputIdx: Array[Int] = specs.map { s =>
+      if (s.op == Op.Count) -1 else fieldIdx(inName(s.out))
     }.toArray
     val local = grouped.mapPartitions { it =>
       val n = ops.length
@@ -168,8 +171,12 @@ object PrefixAgg {
                 if (!seen(j)) { acc(j) = v; seen(j) = true }
                 else op match {
                   case Op.Sum => acc(j) += v
-                  case Op.Min => if (v < acc(j)) acc(j) = v
-                  case Op.Max => if (v > acc(j)) acc(j) = v
+                  // Double.compare, not < / >: Spark's min/max (and the totals
+                  // branch + least/greatest combine) order NaN as GREATEST and
+                  // -0.0 < 0.0; raw comparisons would make a NaN's effect depend
+                  // on which range it landed in
+                  case Op.Min => if (java.lang.Double.compare(v, acc(j)) < 0) acc(j) = v
+                  case Op.Max => if (java.lang.Double.compare(v, acc(j)) > 0) acc(j) = v
                   case Op.Count => ()
                 }
               }
@@ -181,24 +188,21 @@ object PrefixAgg {
       }
     }(Encoders.row(outSchema))
 
-    // ---- 3) per-range totals (deterministic: rid is a row function, so this
-    //      branch may recompute the scan and still agree) → exclusive prefix
-    //      offsets → broadcast back
-    val totalAggs = specs.zip(inNames).map { case (s, in) =>
+    // ---- 3) per-range totals → exclusive prefix offsets → broadcast back.
+    //      Aggregated over the SHUFFLED frame so the one data exchange is reused
+    //      (reading shuffle output, not a second source scan); correctness doesn't
+    //      depend on the reuse because rid is a pure row function — an independent
+    //      recomputation buckets every row identically.
+    val totalAggs = specs.map { s =>
       val a = s.op match {
         case Op.Count => count(lit(1)).cast("long")
-        case Op.Sum   => sum(col(in))
-        case Op.Min   => min(col(in))
-        case Op.Max   => max(col(in))
+        case Op.Sum   => sum(col(inName(s.out)))
+        case Op.Min   => min(col(inName(s.out)))
+        case Op.Max   => max(col(inName(s.out)))
       }
       a.as(s"__t_${s.out}")
     }
-    val totals = df
-      .withColumns(specs.zip(inNames).map { case (s, n) =>
-        n -> (if (s.op == Op.Count) lit(null).cast("double") else col(s.input).cast("double"))
-      }.toMap)
-      .withColumn(rid, ridCol)
-      .groupBy(col(rid)).agg(totalAggs.head, totalAggs.tail: _*)
+    val totals = grouped.groupBy(col(rid)).agg(totalAggs.head, totalAggs.tail: _*)
     val wPrev = Window.orderBy(col(rid)).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals.select(
       col(rid) +: specs.map { s =>
@@ -232,6 +236,6 @@ object PrefixAgg {
     }
     joined
       .withColumns(specs.map(_.out).zip(outCols).toMap)
-      .drop(rid +: (inNames ++ localNames ++ specs.map(s => s"__o_${s.out}")): _*)
+      .drop(rid +: (inName.values.toSeq ++ localNames ++ specs.map(s => s"__o_${s.out}")): _*)
   }
 }

@@ -41,9 +41,14 @@ class PlanSpec extends SparkTestBase {
     // one task; the global denominator must ride the GlobalScalar broadcast path.
     // (The per-value numerators keep windows partitioned by their conditioning
     // columns, and the scalar's own tiny final aggregate is allowed.)
-    val unpartitioned = df.queryExecution.executedPlan.collect {
-      case w: WindowExec if w.partitionSpec.isEmpty => w
-    }
+    // NOTE: sparkPlan, not executedPlan — under AQE executedPlan is an opaque
+    // AdaptiveSparkPlanExec LEAF, so collect{} over it finds nothing and the
+    // assertion would be vacuous (verified: sparkPlan exposes the Window nodes).
+    val allWindows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    // vacuity guard: the PMI numerators ARE windows, so finding none means the
+    // traversal broke (e.g. an adaptive leaf), not that the plan is window-free
+    assert(allWindows.nonEmpty, "plan traversal found no WindowExec at all — vacuous test")
+    val unpartitioned = allWindows.filter(_.partitionSpec.isEmpty)
     assert(unpartitioned.isEmpty,
       s"found ${unpartitioned.size} whole-table Window node(s):\n${unpartitioned.mkString("\n").take(1500)}")
   }

@@ -218,11 +218,14 @@ class WebSpec extends SparkTestBase {
     // leading null region in BOTH the order key (ids 0-2: null k, NULLS FIRST
     // bucket) and the value (ids 0-9: null v — null-until-first-value across range
     // boundaries); 7 forced ranges on 200 rows so offsets really compose
+    // ids 77/150: NaN values — Spark orders NaN as GREATEST in min/max, and the
+    // fold must agree regardless of which range the NaN lands in
     val df = spark.range(200).select(
       col("id"),
       when(col("id") < 3, lit(null).cast("double"))
         .otherwise(floor(col("id") / 3).cast("double")).as("k"),
       when(col("id") < 10, lit(null).cast("double"))
+        .when(col("id").isin(77, 150), lit(Double.NaN))
         .otherwise(sin(col("id").cast("double")) * 100).as("v"))
     val got = PrefixAgg.running(df, Seq("k", "id"), Seq(
         PrefixAgg.runningCount("c"),
@@ -245,8 +248,11 @@ class WebSpec extends SparkTestBase {
         val (x, y) = (a.isNullAt(i), b.isNullAt(i))
         assert(x == y, s"null mismatch col $i at id ${a.getLong(0)}")
         // sum reassociates once per partition boundary; min/max are exact
-        if (!x) assert(math.abs(a.getDouble(i) - b.getDouble(i)) < 1e-9,
-          s"value mismatch col $i at id ${a.getLong(0)}: ${a.getDouble(i)} vs ${b.getDouble(i)}")
+        if (!x) {
+          val (av, bv) = (a.getDouble(i), b.getDouble(i))
+          assert((av.isNaN && bv.isNaN) || math.abs(av - bv) < 1e-9,
+            s"value mismatch col $i at id ${a.getLong(0)}: $av vs $bv")
+        }
       }
     }
     // plan shape: the data shuffles ONCE on the deterministic range-id column; the
