@@ -100,13 +100,17 @@ object Bench {
     // storage memory the measured jobs run under
     spark.catalog.clearCache()
     headline(spark, headlineUrls, runs = 1) // untimed warmup: JIT + codegen (measured 5-8x effect)
-    val (hRows, hRate) = headline(spark, headlineUrls)
+    val headlineRuns = 5
+    val (hRows, hRate) = headline(spark, headlineUrls, runs = headlineRuns)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the policy travels with the number: readers of the JSON/BASELINE must know the
+    // headline is a best-of-N steady-state figure, not a single cold run
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir",""" +
       s""""headline_rows":$hRows,"headline_rows_per_sec":${hRate.toLong},""" +
+      s""""headline_policy":"best-of-$headlineRuns after untimed warmup",""" +
       s""""headline_urls":$headlineUrls,"cpus":$cpus}""")
     spark.stop()
   }

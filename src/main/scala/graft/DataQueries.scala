@@ -126,24 +126,35 @@ object DataQueries {
     * must actually walk the diameter-3 chains (4 copies of ids < 50); the oracle is
     * the md5-group min id.
     */
-  private val qDupClusters: (SparkSession, String) => DataFrame = (spark, dir) => {
-    val base = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text")).where(col("doc_id") < 200)
-    val d = base
-      .unionByName(base.select((col("doc_id") + 100000).as("doc_id"), col("text")))
-      .unionByName(base.where(col("doc_id") < 100)
-        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
-      .unionByName(base.where(col("doc_id") < 50)
-        .select((col("doc_id") + 300000).as("doc_id"), col("text")))
-    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    val edges = d.select(col("doc_id"), lag(col("doc_id"), 1).over(w).as("prev"))
-      .where(col("prev").isNotNull)
-      .select(col("prev").as("idA"), col("doc_id").as("idB"))
-    val clusters = Dedup.dupClusters(edges)
-    d.join(clusters, d("doc_id") === clusters("id"), "left")
-      .select(d("doc_id"), coalesce(col("cluster_id"), d("doc_id")).as("cluster_id"))
-      .orderBy("doc_id")
-  }
+  private def dupClustersQuery(collectThreshold: Long): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      val base = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).where(col("doc_id") < 200)
+      val d = base
+        .unionByName(base.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .unionByName(base.where(col("doc_id") < 100)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+        .unionByName(base.where(col("doc_id") < 50)
+          .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val edges = d.select(col("doc_id"), lag(col("doc_id"), 1).over(w).as("prev"))
+        .where(col("prev").isNotNull)
+        .select(col("prev").as("idA"), col("doc_id").as("idB"))
+      val clusters = Dedup.dupClusters(edges, collectThreshold = collectThreshold)
+      d.join(clusters, d("doc_id") === clusters("id"), "left")
+        .select(d("doc_id"), coalesce(col("cluster_id"), d("doc_id")).as("cluster_id"))
+        .orderBy("doc_id")
+    }
+
+  private val qDupClusters = dupClustersQuery(collectThreshold = 1000000L)
+
+  /** The SAME chain graph and oracle, with the driver-local union-find fast path
+    * DISABLED (`collectThreshold = 0`) so the iterative min-label-propagation +
+    * pointer-jumping rounds — the code a 100-TB edge set actually runs — get a hard
+    * oracle row of their own. The diameter-3 chains (4 copies of ids < 50) force
+    * ≥2 real propagation rounds before the label sum fixes.
+    */
+  private val qDupClustersDist = dupClustersQuery(collectThreshold = 0L)
   private val qDupClustersSql =
     "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200 " +
       "UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 200 " +
@@ -466,6 +477,7 @@ object DataQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> qDedupExact,
     "q_dup_clusters" -> qDupClusters,
+    "q_dup_clusters_dist" -> qDupClustersDist,
     "q_sample" -> qSample,
     "q_normalize" -> qNormalize,
     "q_domain_cap" -> qDomainCap,
@@ -486,6 +498,7 @@ object DataQueries {
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
     "q_dup_clusters" -> qDupClustersSql,
+    "q_dup_clusters_dist" -> qDupClustersSql, // same graph, distributed path forced
     "q_sample" -> qSampleSql,
     "q_normalize" -> qNormalizeSql,
     "q_domain_cap" -> qDomainCapSql,

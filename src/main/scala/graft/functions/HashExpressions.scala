@@ -161,6 +161,9 @@ case class SrpSketchBands(child: Expression, bits: Int, bands: Int) extends Unar
   require(bits >= 1 && bits <= 62 && bands >= 1,
     s"need 1 <= bits <= 62 and bands >= 1 (got $bits, $bands)")
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    NumArrays.checkInput("srpSketchBands", child.dataType)
+
   private lazy val tag: Int = NumArrays.tagOf(child.dataType, "srpSketchBands")
 
   override def dataType: DataType =

@@ -32,6 +32,20 @@ object NumArrays {
       s"$who needs an array of a primitive numeric element type, got $other")
   }
 
+  def isSupported(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType | FloatType | LongType | IntegerType | ShortType | ByteType, _) => true
+    case _ => false
+  }
+
+  /** Analysis-time check shared by the vector kernels: misuse (array&lt;string&gt;, a
+    * non-array, …) should fail as an AnalysisException at plan time, not as a class
+    * cast / IllegalArgumentException at codegen or execution time.
+    */
+  def checkInput(who: String, t: DataType): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (isSupported(t)) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$who needs an array of a primitive numeric element type, got ${t.catalogString}")
+
   def get(a: ArrayData, tag: Int, i: Int): Double = tag match {
     case TDouble => a.getDouble(i)
     case TFloat  => a.getFloat(i).toDouble
@@ -80,6 +94,11 @@ object VectorKernels {
   */
 case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val l = NumArrays.checkInput("cosine left side", left.dataType)
+    if (l.isFailure) l else NumArrays.checkInput("cosine right side", right.dataType)
+  }
 
   private lazy val lTag = NumArrays.tagOf(left.dataType, "cosine left side")
   private lazy val rTag = NumArrays.tagOf(right.dataType, "cosine right side")

@@ -38,34 +38,68 @@ object StreamingFeatures {
 
   /** Per-url incremental feature computation. Events within a micro-batch are
     * processed in event-time order; state carries across batches.
+    *
+    * BOUNDED STATE: per-url state is small but the url universe of a
+    * Common-Crawl-style stream is unbounded, so state for a url silent longer than
+    * `stateTtlSeconds` (measured in EVENT time, anchored at the url's own latest
+    * snapshot) is evicted once the watermark passes `last_ts + ttl`. A later event
+    * for an evicted url restarts from a cold state — snapshot_idx 1, null gap, a
+    * fresh session — the same contract as a url never seen before. Pick the TTL
+    * above the longest url silence whose continuity matters (a re-crawl after a year
+    * usually IS a new session anyway). Rows later than `watermarkDelay` behind the
+    * stream's max event time are dropped by the engine (the standard event-time
+    * lateness contract).
+    *
+    * Per micro-batch, each url's events are buffered and sorted in memory
+    * (`toSeq.sortBy`) — bounded by one key's rows in one micro-batch, not by the
+    * stream; a hot url in a huge batch is the only spike (cap the trigger size if
+    * that bites).
     */
-  def features(pages: Dataset[PageEvent], sessionGapSeconds: Long): Dataset[PageFeature] = {
+  def features(pages: Dataset[PageEvent], sessionGapSeconds: Long,
+      watermarkDelay: String = "30 days",
+      stateTtlSeconds: Long = 365L * 86400): Dataset[PageFeature] = {
+    require(stateTtlSeconds > 0, s"stateTtlSeconds must be > 0, got $stateTtlSeconds")
     val spark = pages.sparkSession
     import spark.implicits._
-    pages.groupByKey(_.url).flatMapGroupsWithState(
-      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+    val streaming = pages.isStreaming
+    val src = if (streaming) pages.withWatermark("warc_ts", watermarkDelay) else pages
+    src.groupByKey(_.url).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
       (url: String, events: Iterator[PageEvent], state: GroupState[UrlState]) =>
-        var s = state.getOption.getOrElse(UrlState(0L, Long.MinValue, -1L, 0L, 0.0))
-        val out = events.toSeq.sortBy(_.warc_ts.getTime).map { e =>
-          val ts = e.warc_ts.toInstant.getEpochSecond
-          val gap = if (s.snapshots == 0) None else Some(ts - s.lastTsSeconds)
-          val newSession = gap.forall(_ > sessionGapSeconds)
-          val textHash = graft.functions.HashKernels.hashString(e.text, 0L)
-          val f = PageFeature(
-            url = url,
-            warc_ts = e.warc_ts,
-            snapshot_idx = s.snapshots + 1,
-            secs_since_last_snapshot = gap,
-            session_id = if (newSession) s.sessionId + 1 else s.sessionId,
-            text_changed = s.snapshots == 0 || textHash != s.lastTextHash,
-            text_length_running_mean = (s.lengthSum + e.text.length) / (s.snapshots + 1))
-          s = UrlState(s.snapshots + 1, ts,
-            if (newSession) s.sessionId + 1 else s.sessionId, textHash,
-            s.lengthSum + e.text.length)
-          f
+        if (state.hasTimedOut) { // url silent past the TTL: drop its state, emit nothing
+          state.remove()
+          Iterator.empty
+        } else {
+          var s = state.getOption.getOrElse(UrlState(0L, Long.MinValue, -1L, 0L, 0.0))
+          val out = events.toSeq.sortBy(_.warc_ts.getTime).map { e =>
+            val ts = e.warc_ts.toInstant.getEpochSecond
+            val gap = if (s.snapshots == 0) None else Some(ts - s.lastTsSeconds)
+            val newSession = gap.forall(_ > sessionGapSeconds)
+            val textHash = graft.functions.HashKernels.hashString(e.text, 0L)
+            val f = PageFeature(
+              url = url,
+              warc_ts = e.warc_ts,
+              snapshot_idx = s.snapshots + 1,
+              secs_since_last_snapshot = gap,
+              session_id = if (newSession) s.sessionId + 1 else s.sessionId,
+              text_changed = s.snapshots == 0 || textHash != s.lastTextHash,
+              text_length_running_mean = (s.lengthSum + e.text.length) / (s.snapshots + 1))
+            s = UrlState(s.snapshots + 1, ts,
+              if (newSession) s.sessionId + 1 else s.sessionId, textHash,
+              s.lengthSum + e.text.length)
+            f
+          }
+          state.update(s)
+          // expire once the watermark passes lastTs + ttl; clamped above the current
+          // watermark because Spark rejects timeouts at-or-before it (a key whose
+          // whole TTL is already behind the watermark times out on the next batch).
+          // Batch execution has no watermark — timeouts never fire there anyway.
+          if (streaming)
+            state.setTimeoutTimestamp(math.max(
+              s.lastTsSeconds * 1000L + stateTtlSeconds * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+          out.iterator
         }
-        state.update(s)
-        out.iterator
     }
   }
 
@@ -87,23 +121,48 @@ object StreamingFeatures {
     * a batch). Requires per-key event-time-ordered arrival ACROSS micro-batches (the
     * usual log-compaction/kafka-partition-by-url setup); within a batch any order is
     * fine. Batch/stream parity is tested in StreamingSpec.
+    *
+    * BOUNDED STATE: a url silent (no page OR event) past `stateTtlSeconds` of event
+    * time has its snapshot state evicted once the watermark passes; the next event
+    * for that url backfills NULL — exactly the cold-start contract, and the honest
+    * answer at corpus scale (holding every url's last snapshot forever is the
+    * unbounded-state bug this TTL exists to kill). The per-batch per-key
+    * buffer/sort note on [[features]] applies here too.
     */
-  def backfill(timeline: Dataset[TimelineRow]): Dataset[BackfilledEvent] = {
+  def backfill(timeline: Dataset[TimelineRow],
+      watermarkDelay: String = "30 days",
+      stateTtlSeconds: Long = 365L * 86400): Dataset[BackfilledEvent] = {
+    require(stateTtlSeconds > 0, s"stateTtlSeconds must be > 0, got $stateTtlSeconds")
     val spark = timeline.sparkSession
     import spark.implicits._
-    timeline.groupByKey(_.url).flatMapGroupsWithState(
-      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+    val streaming = timeline.isStreaming
+    val src = if (streaming) timeline.withWatermark("ts", watermarkDelay) else timeline
+    src.groupByKey(_.url).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
       (url: String, rows: Iterator[TimelineRow], state: GroupState[SnapshotState]) =>
-        var s = state.getOption
-        val out = rows.toSeq
-          .sortBy(r => (r.ts.getTime, if (r.isPage) 0 else 1))
-          .flatMap { r =>
-            if (r.isPage) { s = Some(SnapshotState(r.ts.getTime, r.text, r.lang)); None }
-            else Some(BackfilledEvent(url, r.ts, r.value,
-              s.map(st => new Timestamp(st.warcTsMillis)), s.map(_.text), s.map(_.lang)))
-          }
-        s.foreach(state.update)
-        out.iterator
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var s = state.getOption
+          var lastMs = Long.MinValue
+          val out = rows.toSeq
+            .sortBy(r => (r.ts.getTime, if (r.isPage) 0 else 1))
+            .flatMap { r =>
+              lastMs = math.max(lastMs, r.ts.getTime)
+              if (r.isPage) { s = Some(SnapshotState(r.ts.getTime, r.text, r.lang)); None }
+              else Some(BackfilledEvent(url, r.ts, r.value,
+                s.map(st => new Timestamp(st.warcTsMillis)), s.map(_.text), s.map(_.lang)))
+            }
+          s.foreach(state.update)
+          // TTL anchored at the key's latest TIMELINE row (page or event): any
+          // activity keeps the snapshot alive for another TTL window
+          if (streaming && state.exists)
+            state.setTimeoutTimestamp(math.max(
+              lastMs + stateTtlSeconds * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+          out.iterator
+        }
     }
   }
 

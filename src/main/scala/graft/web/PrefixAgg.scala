@@ -89,10 +89,14 @@ object PrefixAgg {
     require(orderBy.nonEmpty, "orderBy must be a (total) order — include a unique tie-breaker")
     require(specs.nonEmpty, "need at least one RunningSpec")
     require(specs.map(_.out).distinct.size == specs.size, "duplicate output names")
+    require(numRanges >= 0, s"numRanges must be >= 0 (0 = derive from conf), got $numRanges")
     val spark = df.sparkSession
     val ranges =
       if (numRanges > 0) numRanges
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+      // the conf may be non-numeric on some platforms (e.g. "auto"): fall back to the
+      // cluster's default parallelism rather than throwing NumberFormatException
+      else spark.conf.get("spark.sql.shuffle.partitions").toIntOption
+        .getOrElse(spark.sparkContext.defaultParallelism)
 
     // deterministic range id from quantile bounds of the leading order key
     val headField = df.schema(orderBy.head)

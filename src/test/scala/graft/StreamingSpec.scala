@@ -27,7 +27,10 @@ class StreamingSpec extends SparkTestBase {
 
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[PageEvent]
-    val query = StreamingFeatures.features(input.toDS(), sessionGapSeconds = 2 * 86400L)
+    // TTL far above the synthetic table's multi-year url timelines: this test checks
+    // feature parity, not eviction (eviction has its own test below)
+    val query = StreamingFeatures.features(input.toDS(), sessionGapSeconds = 2 * 86400L,
+        stateTtlSeconds = 100L * 365 * 86400)
       .writeStream.format("memory").queryName("stream_features")
       .outputMode("append").start()
     try {
@@ -125,7 +128,8 @@ class StreamingSpec extends SparkTestBase {
 
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[TimelineRow]
-    val query = graft.streaming.StreamingFeatures.backfill(input.toDS())
+    val query = graft.streaming.StreamingFeatures.backfill(input.toDS(),
+        stateTtlSeconds = 100L * 365 * 86400)
       .writeStream.format("memory").queryName("stream_backfill")
       .outputMode("append").start()
     try {
@@ -136,6 +140,70 @@ class StreamingSpec extends SparkTestBase {
     val streamed = canon(spark.table("stream_backfill"))
     assert(streamed.size == batch.size)
     assert(streamed == batch)
+  }
+
+  test("stateful features evict state for urls silent past the TTL") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(daysFromEpoch: Long) = new java.sql.Timestamp(1577836800000L + daysFromEpoch * 86400_000L)
+    val input = MemoryStream[PageEvent]
+    // TTL 1 day, watermark delay 0: a url silent > 1 day of event time is evicted
+    val query = StreamingFeatures.features(input.toDS(), sessionGapSeconds = 86400L,
+        watermarkDelay = "0 seconds", stateTtlSeconds = 86400L)
+      .writeStream.format("memory").queryName("stream_evict")
+      .outputMode("append").start()
+    try {
+      input.addData(PageEvent("a", ts(0), "v1", "en"), PageEvent("a", ts(0), "v1", "en"))
+      query.processAllAvailable() // watermark after this batch: day 0
+      // sentinel url advances the watermark to day 10 — far past a's TTL (day 1)
+      input.addData(PageEvent("z", ts(10), "x", "en"))
+      query.processAllAvailable()
+      // one more batch so the day-10 watermark is APPLIED: a's timeout fires here
+      input.addData(PageEvent("z", ts(11), "x", "en"))
+      query.processAllAvailable()
+      // a returns after eviction: must restart COLD (idx 1, null gap), not resume
+      input.addData(PageEvent("a", ts(12), "v2", "en"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val a = spark.table("stream_evict").where(col("url") === "a")
+      .orderBy("warc_ts").collect()
+    assert(a.length == 3, a.mkString(", "))
+    val revived = a.last
+    assert(revived.getAs[Long]("snapshot_idx") == 1L,
+      s"state not evicted: revived url resumed at snapshot_idx ${revived.getAs[Long]("snapshot_idx")}")
+    assert(revived.isNullAt(revived.fieldIndex("secs_since_last_snapshot")),
+      "state not evicted: revived url still sees a gap to its pre-eviction snapshot")
+    // timeout invocations must not emit rows of their own
+    assert(spark.table("stream_evict").count() == 5)
+  }
+
+  test("streaming backfill evicts snapshot state past the TTL (cold-start nulls)") {
+    import spark.implicits._
+    import graft.streaming.StreamingFeatures.TimelineRow
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(d: Long) = new java.sql.Timestamp(1577836800000L + d * 86400_000L)
+    val input = MemoryStream[TimelineRow]
+    val query = StreamingFeatures.backfill(input.toDS(),
+        watermarkDelay = "0 seconds", stateTtlSeconds = 86400L)
+      .writeStream.format("memory").queryName("stream_backfill_evict")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        TimelineRow("a", ts(0), isPage = true, "snapshot text", "en", 0.0),
+        TimelineRow("a", ts(0), isPage = false, "", "", 1.5))
+      query.processAllAvailable()
+      input.addData(TimelineRow("z", ts(10), isPage = true, "x", "en", 0.0))
+      query.processAllAvailable()
+      input.addData(TimelineRow("z", ts(11), isPage = true, "x", "en", 0.0))
+      query.processAllAvailable() // a's snapshot state evicted here (TTL = day 1 < wm)
+      input.addData(TimelineRow("a", ts(12), isPage = false, "", "", 2.5))
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.table("stream_backfill_evict").orderBy("ts").collect()
+    assert(rows.length == 2, rows.mkString(", "))
+    assert(rows.head.getAs[java.sql.Timestamp]("warc_ts") == ts(0)) // pre-TTL: enriched
+    assert(rows.last.isNullAt(rows.last.fieldIndex("warc_ts")),
+      "snapshot state not evicted: post-TTL event still backfilled from the dead snapshot")
   }
 
   test("streaming exact dedup keeps the first content hash across micro-batches") {
