@@ -1,10 +1,10 @@
 package graft.web
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, JoinedRow, UnaryExpression, UnsafeProjection}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.graftbridge.{ColumnBridge, InternalBridge}
 import org.apache.spark.sql.types._
 
 /** Globally-ordered running (prefix) aggregates WITHOUT a whole-table
@@ -134,41 +134,50 @@ object PrefixAgg {
       // fold reset its accumulators on every rid change
       .sortWithinPartitions(col(rid) +: orderBy.map(col): _*)
 
-    // ---- 2) range-local running values, one pass, no further shuffle
+    // ---- 2) range-local running values, one pass, no further shuffle. The fold
+    //      runs at the InternalRow level — rows stay in Tungsten format end-to-end.
+    //      The previous formulation (`Dataset.mapPartitions` + `Encoders.row`)
+    //      deserialized every row into a boxed external Row and re-encoded it, a
+    //      pure codec tax on the one deliberately-sequential pass: 18.0s → 10.0s
+    //      (1.11M → 2.00M rows/s) at 20M rows, local[32] (graft.PrefixBench,
+    //      BENCH/BASELINE.md round 4). Pass-through columns ride along inside the
+    //      UnsafeProjection; the fold reads only rid and the pre-cast input doubles.
     val localNames = specs.map(s => s"__graft_prefix_local_${s.out}")
     val outSchema = StructType(grouped.schema.fields ++ specs.zip(localNames).map {
       case (s, n) =>
         StructField(n, if (s.op == Op.Count) LongType else DoubleType, nullable = true)
     })
-    val baseWidth = grouped.schema.size
     val fieldIdx = grouped.schema.fieldNames.zipWithIndex.toMap
     val ridIdx = fieldIdx(rid)
     val ops: Array[Op] = specs.map(_.op).toArray
     val inputIdx: Array[Int] = specs.map { s =>
       if (s.op == Op.Count) -1 else fieldIdx(inName(s.out))
     }.toArray
-    val local = grouped.mapPartitions { it =>
+    val localRdd = grouped.queryExecution.toRdd.mapPartitions { it =>
       val n = ops.length
-      var curRid: Any = null
+      var curRid = 0
+      var curRidNull = false
       var first = true
       var cnt = 0L
       val acc = new Array[Double](n)
       val seen = new Array[Boolean](n)
+      val extra = new GenericInternalRow(n)
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(outSchema)
       it.map { row =>
-        val r = row.get(ridIdx)
-        if (first || r != curRid) {
-          curRid = r; first = false
+        // a null leading key yields a null rid (its own range, globally first)
+        val rNull = row.isNullAt(ridIdx)
+        val r = if (rNull) 0 else row.getInt(ridIdx)
+        if (first || rNull != curRidNull || r != curRid) {
+          curRid = r; curRidNull = rNull; first = false
           cnt = 0L
           java.util.Arrays.fill(seen, false)
         }
         cnt += 1L
-        val out = new Array[Any](baseWidth + n)
-        var i = 0
-        while (i < baseWidth) { out(i) = row.get(i); i += 1 }
         var j = 0
         while (j < n) {
           ops(j) match {
-            case Op.Count => out(baseWidth + j) = cnt
+            case Op.Count => extra.update(j, cnt)
             case op =>
               if (!row.isNullAt(inputIdx(j))) {
                 val v = row.getDouble(inputIdx(j))
@@ -184,18 +193,23 @@ object PrefixAgg {
                   case Op.Count => ()
                 }
               }
-              out(baseWidth + j) = if (seen(j)) acc(j) else null
+              extra.update(j, if (seen(j)) java.lang.Double.valueOf(acc(j)) else null)
           }
           j += 1
         }
-        Row.fromSeq(out.toIndexedSeq)
+        // the projection's output buffer is reused per row — the standard operator
+        // output contract; downstream operators copy when they buffer
+        proj(joined(row, extra)): org.apache.spark.sql.catalyst.InternalRow
       }
-    }(Encoders.row(outSchema))
+    }
+    val local = InternalBridge.internalCreateDataFrame(spark, localRdd, outSchema)
 
     // ---- 3) per-range totals → exclusive prefix offsets → broadcast back.
-    //      Aggregated over the SHUFFLED frame so the one data exchange is reused
-    //      (reading shuffle output, not a second source scan); correctness doesn't
-    //      depend on the reuse because rid is a pure row function — an independent
+    //      Aggregated over `local`, i.e. the SAME shuffled-and-folded RDD lineage the
+    //      probe side scans: Spark core runs the one data shuffle's map stage once
+    //      and both consumers read its files (the fold itself re-runs on the
+    //      aggregate's pass — a cheap streaming scan). Correctness doesn't depend on
+    //      the reuse because rid is a pure row function — an independent
     //      recomputation buckets every row identically.
     val totalAggs = specs.map { s =>
       val a = s.op match {
@@ -206,7 +220,7 @@ object PrefixAgg {
       }
       a.as(s"__t_${s.out}")
     }
-    val totals = grouped.groupBy(col(rid)).agg(totalAggs.head, totalAggs.tail: _*)
+    val totals = local.groupBy(col(rid)).agg(totalAggs.head, totalAggs.tail: _*)
     val wPrev = Window.orderBy(col(rid)).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals.select(
       col(rid) +: specs.map { s =>

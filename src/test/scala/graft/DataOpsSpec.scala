@@ -333,4 +333,38 @@ class DataOpsSpec extends SparkTestBase {
     val dirty = spark.createDataset(Seq(Multimodal.MediaRow(9L, "image", Array[Byte](1, 2, 3))))
     assert(Multimodal.decodeImages(dirty).collect().head.doc_id == 9L)
   }
+
+  test("multimodal decode fixpoint: re-encode → re-decode stats are stable") {
+    import spark.implicits._
+    // horizontal gray gradient with an ANALYTIC mean luma (gray ⇒ luma = v/255
+    // exactly under Rec.601, since the weights sum to 1) — a second oracle on the
+    // real decoder that no hash-based fake could satisfy
+    def gradient(id: Long, w: Int, h: Int): Multimodal.MediaRow = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = if (w == 1) 0 else (x * 255) / (w - 1)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Multimodal.MediaRow(id, "image", bos.toByteArray)
+    }
+    val w = 16; val h = 4
+    val media = spark.createDataset(Seq(gradient(1L, w, h)))
+    val first = Multimodal.decodeImages(media).collect().head
+    val analytic = (0 until w).map(x => (x * 255 / (w - 1)).toDouble / 255).sum / w
+    assert(first.width == w && first.height == h && first.channels == 3)
+    assert(math.abs(first.meanLuma - analytic) < 1e-9,
+      s"decoded luma ${first.meanLuma} != analytic $analytic")
+    // decode → same-size bilinear resize → PNG re-encode → re-decode: PNG is
+    // lossless and 1:1 bilinear is the identity, so every stat must survive exactly
+    val thumb1 = Multimodal.resizeImageBytes(media, w, h).collect().head
+    val roundTrip1 = spark.createDataset(Seq(Multimodal.MediaRow(1L, "image", thumb1.thumbnail)))
+    val second = Multimodal.decodeImages(roundTrip1).collect().head
+    assert(second == first, s"re-decoded stats drifted: $second vs $first")
+    // and the encoder itself is a fixpoint: a second encode round emits identical bytes
+    val thumb2 = Multimodal.resizeImageBytes(roundTrip1, w, h).collect().head
+    assert(java.util.Arrays.equals(thumb1.thumbnail, thumb2.thumbnail),
+      "PNG re-encode is not deterministic — decode goldens would be unstable")
+  }
 }

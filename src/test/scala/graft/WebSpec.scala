@@ -265,6 +265,51 @@ class WebSpec extends SparkTestBase {
       plan.take(2000))
   }
 
+  test("prefix running aggregates survive degenerate range geometries") {
+    import graft.web.PrefixAgg
+    import graft.web.PrefixAgg.{Op, RunningSpec}
+    import org.apache.spark.sql.expressions.Window
+
+    def check(df: DataFrame, numRanges: Int, label: String): Unit = {
+      val got = PrefixAgg.running(df, Seq("k", "id"), Seq(
+          PrefixAgg.runningCount("c"),
+          RunningSpec(Op.Sum, "v", "s"),
+          RunningSpec(Op.Min, "v", "mn"),
+          RunningSpec(Op.Max, "v", "mx")),
+        numRanges = numRanges)
+      val w = Window.orderBy(col("k").asc, col("id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = df.select(col("id"), count(lit(1)).over(w).as("c"),
+        sum("v").over(w).as("s"), min("v").over(w).as("mn"), max("v").over(w).as("mx"))
+      val g = got.select("id", "c", "s", "mn", "mx").orderBy("id").collect()
+      val e = want.orderBy("id").collect()
+      assert(g.length == e.length, label)
+      g.zip(e).foreach { case (a, b) =>
+        assert(a.getLong(1) == b.getLong(1), s"$label: count at id ${a.getLong(0)}")
+        Seq(2, 3, 4).foreach { i =>
+          assert(a.isNullAt(i) == b.isNullAt(i), s"$label: null col $i at id ${a.getLong(0)}")
+          if (!a.isNullAt(i))
+            assert(math.abs(a.getDouble(i) - b.getDouble(i)) < 1e-9,
+              s"$label: col $i at id ${a.getLong(0)}: ${a.getDouble(i)} vs ${b.getDouble(i)}")
+        }
+      }
+    }
+
+    // constant leading key: every quantile bound collapses to ONE value → a single
+    // range — the degenerate genuinely-sequential case must still be correct
+    check(spark.range(500).select(col("id"), lit(1.0).as("k"),
+      sin(col("id").cast("double")).as("v")), numRanges = 8, "constant key")
+
+    // heavy skew: 90% of rows share one key value → one range carries ~90% of rows
+    check(spark.range(1000).select(col("id"),
+      when(col("id") % 10 =!= 0, lit(5.0)).otherwise(col("id").cast("double")).as("k"),
+      cos(col("id").cast("double")).as("v")), numRanges = 8, "90% skew")
+
+    // far more ranges than distinct keys: deduped bounds leave some ranges empty
+    check(spark.range(300).select(col("id"), (col("id") % 3).cast("double").as("k"),
+      sin(col("id").cast("double")).as("v")), numRanges = 64, "numRanges >> distinct keys")
+  }
+
   test("metrics listener captures per-task lineage and skew ratio") {
     val l = GraftMetricsListener.attach(spark)
     pages.groupBy("domain_id").count().count()
