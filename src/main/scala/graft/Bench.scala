@@ -71,6 +71,10 @@ object Bench {
       // clusters) cache per-round frames, and pinning them at full shuffle width
       // makes every tiny round pay hundreds of empty tasks
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // global-scalar aggregates (PMI total-N, scaler stats) sitting directly over a
+      // parquet scan answer COUNT/MIN/MAX from footers instead of scanning rows —
+      // measured ~10% off q_pmi warm; semantics unchanged (optimizer feature)
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -14,6 +14,8 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // same optimizer surface the bench runs under (footer-answered global counts)
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
