@@ -12,7 +12,8 @@ import scala.jdk.CollectionConverters._
   */
 final class GraftMetricsListener extends SparkListener {
   final case class TaskStat(stageId: Int, partitionId: Int, recordsRead: Long,
-      recordsWritten: Long, runTimeMs: Long, bytesRead: Long, shuffleBytesWritten: Long)
+      recordsWritten: Long, runTimeMs: Long, bytesRead: Long, shuffleBytesWritten: Long,
+      memorySpilled: Long, diskSpilled: Long)
 
   private val tasks = new ConcurrentHashMap[(Int, Long), TaskStat]()
   private val stageNames = new ConcurrentHashMap[Int, String]()
@@ -26,7 +27,8 @@ final class GraftMetricsListener extends SparkListener {
       val stat = TaskStat(
         e.stageId, e.taskInfo.index,
         m.inputMetrics.recordsRead, m.outputMetrics.recordsWritten,
-        m.executorRunTime, m.inputMetrics.bytesRead, m.shuffleWriteMetrics.bytesWritten)
+        m.executorRunTime, m.inputMetrics.bytesRead, m.shuffleWriteMetrics.bytesWritten,
+        m.memoryBytesSpilled, m.diskBytesSpilled)
       tasks.put((e.stageId, e.taskInfo.taskId), stat)
       totalRecordsRead.add(stat.recordsRead)
       totalRunTimeMs.add(stat.runTimeMs)
@@ -50,6 +52,8 @@ final class GraftMetricsListener extends SparkListener {
     s"""{"tasks":${ts.size},"recordsRead":${totalRecordsRead.sum()},""" +
       s""""recordsWritten":${ts.map(_.recordsWritten).sum},""" +
       s""""totalTaskMs":${totalRunTimeMs.sum()},"maxTaskMs":${maxTaskMs.get()},""" +
+      s""""memorySpilledBytes":${ts.map(_.memorySpilled).sum},""" +
+      s""""diskSpilledBytes":${ts.map(_.diskSpilled).sum},""" +
       s""""skewRatio":${f"${skewRatio}%.3f"}}"""
   }
 }

@@ -255,11 +255,14 @@ class WebSpec extends SparkTestBase {
         }
       }
     }
-    // plan shape: the data shuffles ONCE on the deterministic range-id column; the
-    // only unpartitioned window runs over the per-range totals (range-count rows),
-    // and the offsets come back via broadcast — nothing funnels the full table
-    // through one task
+    // plan shape: the full-data shuffle-on-rid lives INSIDE the fold's RDD lineage
+    // (the InternalRow fold is an ExistingRDD scan here; its repartition being
+    // load-bearing is pinned by the value checks above — drop it and the per-range
+    // folds go wrong). Visible in this plan: the totals aggregation keyed on rid
+    // (map-side partials, tiny exchange), the offsets window over range-count rows, and
+    // the broadcast join back — nothing funnels the full table through one task.
     val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan ExistingRDD"), plan.take(2000))
     assert(plan.contains("hashpartitioning(__graft_prefix_rid"), plan.take(2000))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       plan.take(2000))
