@@ -1,6 +1,6 @@
 package graft
 
-import graft.data.{Ann, Dedup, TextAnalysis}
+import graft.data.{Ann, Decontaminate, Dedup, TextAnalysis}
 import graft.functions.hashfns
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -472,6 +472,85 @@ object DataQueries {
       "'[\\p{L}\\p{N}]+')) AS token FROM documents) WHERE length(token) > 0 " +
       "GROUP BY token ORDER BY token"
 
+  /** Repetition/format quality signals (Gopher-style) over deterministically
+    * reshaped documents: the word-bag docs are broken into 4-word lines, with
+    * bullet pairs / '#…' symbols / ellipsis suffixes planted on id-keyed subsets so
+    * every signal takes non-trivial values. The reshaping is mirrored verbatim in
+    * the oracle SQL.
+    */
+  private val qRepetition: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val t = concat(
+      when(col("doc_id") % 7 === 0, lit("• alpha beta\n• alpha beta\n")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("# … ")).otherwise(lit("")),
+      regexp_replace(col("text"), "(\\S+ \\S+ \\S+ \\S+) ", "$1\n"),
+      when(col("doc_id") % 6 === 0, lit("\nread more…")).otherwise(lit("")))
+    d.select(col("doc_id"),
+        r6(TextAnalysis.dupLineFraction(t)).as("dup_line_frac"),
+        r6(TextAnalysis.dupWordFraction(t)).as("dup_word_frac"),
+        r6(TextAnalysis.symbolToWordRatio(t)).as("symbol_word_ratio"),
+        r6(TextAnalysis.bulletLineFraction(t)).as("bullet_line_frac"),
+        r6(TextAnalysis.ellipsisLineFraction(t)).as("ellipsis_line_frac"))
+      .orderBy("doc_id")
+  }
+  private val qRepetitionSql =
+    "WITH t0 AS (SELECT doc_id, " +
+      "(CASE WHEN doc_id % 7 = 0 THEN '• alpha beta' || chr(10) || '• alpha beta' || chr(10) ELSE '' END) " +
+      "|| (CASE WHEN doc_id % 5 = 0 THEN '# … ' ELSE '' END) " +
+      "|| regexp_replace(text, '(\\S+ \\S+ \\S+ \\S+) ', '\\1' || chr(10), 'g') " +
+      "|| (CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'read more…' ELSE '' END) AS t FROM documents), " +
+      "a AS (SELECT doc_id, t, " +
+      "list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)), x -> length(x) > 0) AS l, " +
+      "regexp_extract_all(lower(t), '[\\p{L}\\p{N}]+') AS w FROM t0), " +
+      "s AS (SELECT doc_id, " +
+      "CASE WHEN len(l) > 0 THEN (len(l) - len(list_distinct(l)))::DOUBLE / len(l) ELSE 0.0 END AS dup_line_frac, " +
+      "CASE WHEN len(w) > 0 THEN (len(w) - len(list_distinct(w)))::DOUBLE / len(w) ELSE 0.0 END AS dup_word_frac, " +
+      "length(regexp_extract_all(t, '[#…]'))::DOUBLE / greatest(len(w), 1)::DOUBLE AS symbol_word_ratio, " +
+      "CASE WHEN len(l) > 0 THEN len(list_filter(l, x -> regexp_matches(x, '^[•‣▶*-]')))::DOUBLE / len(l) ELSE 0.0 END AS bullet_line_frac, " +
+      "CASE WHEN len(l) > 0 THEN len(list_filter(l, x -> regexp_matches(x, '(\\.\\.\\.|…)$')))::DOUBLE / len(l) ELSE 0.0 END AS ellipsis_line_frac " +
+      "FROM a) " +
+      s"SELECT doc_id, ${Seq("dup_line_frac", "dup_word_frac", "symbol_word_ratio",
+        "bullet_line_frac", "ellipsis_line_frac").map(n => s"${r6sql(n)} AS $n").mkString(", ")} " +
+      "FROM s ORDER BY doc_id"
+
+  /** Benchmark decontamination, substring path: snippets are chars 21–60 of every
+    * 50th document (planted from the corpus itself, so matches are guaranteed and
+    * the same text appearing in other documents flags them too).
+    */
+  private val qDecontam: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val d = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+    val bench = d.where(col("doc_id") % 50 === 7)
+      .select(substring(col("text"), 21, 40).as("snippet"))
+    Decontaminate.flagContains(d, "text", bench, "snippet")
+      .select(col("doc_id"), col("contaminated").cast("int").as("contaminated"))
+      .orderBy("doc_id")
+  }
+  private val qDecontamSql =
+    "WITH s AS (SELECT substr(text, 21, 40) AS snip FROM documents WHERE doc_id % 50 = 7) " +
+      "SELECT d.doc_id, (EXISTS (SELECT 1 FROM s WHERE length(s.snip) > 0 " +
+      "AND contains(d.text, s.snip)))::INT AS contaminated FROM documents d ORDER BY doc_id"
+
+  /** Decontamination, token-8-gram path: the engine compares xxhash64 of the grams
+    * (only hashes are broadcast); the oracle compares the gram STRINGS — equal
+    * outputs certify the gram extraction AND that hashing introduced no false
+    * positives on this corpus.
+    */
+  private val qDecontamNgram: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val d = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+    val bench = d.where(col("doc_id") % 50 === 7)
+    Decontaminate.flagNgramOverlap(d, "text", bench, "text", n = 8)
+      .select(col("doc_id"), col("contaminated").cast("int").as("contaminated"))
+      .orderBy("doc_id")
+  }
+  private val qDecontamNgramSql =
+    "WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+') AS w FROM documents), " +
+      "bg AS (SELECT DISTINCT g FROM (SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 7, 0)), " +
+      "i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS g FROM tok WHERE doc_id % 50 = 7)), " +
+      "dg AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w) - 7, 0)), " +
+      "i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS g FROM tok) " +
+      "SELECT t.doc_id, (EXISTS (SELECT 1 FROM dg JOIN bg ON dg.g = bg.g " +
+      "WHERE dg.doc_id = t.doc_id))::INT AS contaminated FROM tok t ORDER BY doc_id"
+
   // ----------------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -493,7 +572,10 @@ object DataQueries {
     "q_fingerprints" -> qFingerprints,
     "q_simhash_pairs" -> qSimhashPairs,
     "q_text_sim" -> qTextSim,
-    "q_jaro_sim" -> qJaroSim)
+    "q_jaro_sim" -> qJaroSim,
+    "q_repetition" -> qRepetition,
+    "q_decontam" -> qDecontam,
+    "q_decontam_ngram" -> qDecontamNgram)
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
@@ -514,5 +596,8 @@ object DataQueries {
     "q_fingerprints" -> qFingerprintsSql,
     "q_simhash_pairs" -> qSimhashPairsSql,
     "q_text_sim" -> qTextSimSql,
-    "q_jaro_sim" -> qJaroSimSql)
+    "q_jaro_sim" -> qJaroSimSql,
+    "q_repetition" -> qRepetitionSql,
+    "q_decontam" -> qDecontamSql,
+    "q_decontam_ngram" -> qDecontamNgramSql)
 }

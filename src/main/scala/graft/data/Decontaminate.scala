@@ -1,0 +1,93 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag (or drop) training documents that contain
+  * evaluation-set content, so test questions never leak into the training corpus.
+  *
+  * Two public, complementary paths:
+  *
+  *  - [[flagContains]] — exact SUBSTRING match against a set of benchmark snippets.
+  *    The snippet set is aggregated to a single array row and broadcast; each
+  *    document is checked in one codegen'd projection (`exists(snips, contains)`).
+  *    No shuffle of the corpus, no explode — the 100-TB plan is scan → project.
+  *    Right when the benchmark is small enough to broadcast verbatim (eval suites
+  *    are MBs against a 100-TB corpus).
+  *
+  *  - [[flagNgramOverlap]] — token n-gram HASH overlap (the published-method shape:
+  *    mark a document contaminated if any of its token n-grams appears in the
+  *    benchmark; n=8..13 typical). Only 64-bit hashes of the benchmark grams are
+  *    broadcast — independent of snippet text size — and the document side computes
+  *    its gram hashes inline in the same projection. Robust to the snippet not
+  *    being a verbatim substring (whitespace/punctuation differences collapse at
+  *    tokenization), at the price of token-boundary granularity.
+  *
+  * Both flags are null-safe: a null/empty benchmark flags nothing; a null document
+  * text is flagged false (it cannot contain anything).
+  *
+  * Scale note: both paths broadcast ONE aggregated row. If the benchmark gram set
+  * ever outgrew broadcast range (it should not — 10⁶ grams ≈ 8 MB of longs),
+  * the same semantics fall out of `explode(gram hashes)` + broadcast LEFT SEMI join
+  * + re-attach by doc id, trading one corpus-side explode for the per-row set scan.
+  */
+object Decontaminate {
+
+  /** Array of xxhash64 values of the document's token `n`-grams, over the same
+    * lowercase letter/digit-run tokens as [[TextAnalysis.wordTokens]]. Empty array
+    * when the document has fewer than `n` tokens.
+    */
+  def tokenNgramHashes(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val w = TextAnalysis.wordTokens(text)
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => xxhash64(concat_ws(" ", slice(w, i + lit(1), lit(n))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Add boolean `outCol`: does the document contain ANY benchmark snippet as an
+    * exact substring?
+    */
+  def flagContains(docs: DataFrame, textCol: String, bench: DataFrame,
+      snippetCol: String, outCol: String = "contaminated"): DataFrame = {
+    // aggregate with no groupBy: exactly one row even for an empty benchmark, so the
+    // broadcast cross join is always 1:1 with the corpus
+    val snips = bench
+      .where(col(snippetCol).isNotNull && length(col(snippetCol)) > 0)
+      .agg(collect_set(col(snippetCol)).as("__graft_snips"))
+    docs.crossJoin(broadcast(snips))
+      .withColumn(outCol,
+        coalesce(exists(col("__graft_snips"), s => contains(col(textCol), s)), lit(false)))
+      .drop("__graft_snips")
+  }
+
+  /** Add boolean `outCol`: does any token `n`-gram of the document appear among the
+    * benchmark texts' token `n`-grams?
+    */
+  def flagNgramOverlap(docs: DataFrame, textCol: String, bench: DataFrame,
+      benchTextCol: String, n: Int = 8, outCol: String = "contaminated"): DataFrame = {
+    val grams = bench
+      .select(explode(tokenNgramHashes(col(benchTextCol), n)).as("__g"))
+      .agg(collect_set(col("__g")).as("__graft_grams"))
+    docs.crossJoin(broadcast(grams))
+      .withColumn(outCol,
+        coalesce(arrays_overlap(tokenNgramHashes(col(textCol), n), col("__graft_grams")),
+          lit(false)))
+      .drop("__graft_grams")
+  }
+
+  /** Drop contaminated documents (substring path). */
+  def removeContains(docs: DataFrame, textCol: String, bench: DataFrame,
+      snippetCol: String): DataFrame = {
+    val out = "__graft_contaminated"
+    flagContains(docs, textCol, bench, snippetCol, out).where(!col(out)).drop(out)
+  }
+
+  /** Drop contaminated documents (n-gram path). */
+  def removeNgramOverlap(docs: DataFrame, textCol: String, bench: DataFrame,
+      benchTextCol: String, n: Int = 8): DataFrame = {
+    val out = "__graft_contaminated"
+    flagNgramOverlap(docs, textCol, bench, benchTextCol, n, out).where(!col(out)).drop(out)
+  }
+}

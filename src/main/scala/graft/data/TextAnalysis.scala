@@ -75,6 +75,86 @@ object TextAnalysis {
   /** Content-defined document fingerprint (rolling hash over normalized text). */
   def fingerprint(text: Column): Column = hashfns.rollingFingerprint(text)
 
+  // -------------------------------------------- repetition / format signals (Gopher)
+
+  /** Trimmed, non-empty lines of a document. Trim is ASCII-space (Spark `trim` and
+    * DuckDB `trim` agree), so the oracle splits identically.
+    */
+  def lines(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+
+  /** Lowercased word tokens (letter/digit runs) as an array — the same tokenization
+    * [[wordCounts]] and the decontamination n-grams use.
+    */
+  def wordTokens(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), w => length(w) > 0)
+
+  private def dupFraction(arr: Column): Column = {
+    val n = size(arr).cast("double")
+    when(n > 0, (n - size(array_distinct(arr)).cast("double")) / n).otherwise(lit(0.0))
+  }
+
+  private def lineFraction(text: Column, pred: Column => Column): Column = {
+    val l = lines(text)
+    val n = size(l).cast("double")
+    when(n > 0, size(filter(l, pred)).cast("double") / n).otherwise(lit(0.0))
+  }
+
+  /** Fraction of lines that are duplicates of another line (1 − distinct/total);
+    * 0 for an empty document. Boilerplate-heavy pages (nav menus, cookie banners
+    * repeated per template) score high.
+    */
+  def dupLineFraction(text: Column): Column = dupFraction(lines(text))
+
+  /** Fraction of word tokens that are repeats of an earlier token. */
+  def dupWordFraction(text: Column): Column = dupFraction(wordTokens(text))
+
+  /** '#' / '…' symbols per word — the classic symbol-to-word screen for markup and
+    * truncation residue.
+    */
+  def symbolToWordRatio(text: Column): Column =
+    regexp_count(text, lit("[#…]")).cast("double") /
+      greatest(size(wordTokens(text)).cast("double"), lit(1.0))
+
+  /** Fraction of lines that start with a bullet marker. */
+  def bulletLineFraction(text: Column): Column =
+    lineFraction(text, l => l.rlike("^[•‣▶*-]"))
+
+  /** Fraction of lines that end with an ellipsis ("..." or "…") — link-list and
+    * teaser-snippet pages.
+    */
+  def ellipsisLineFraction(text: Column): Column =
+    lineFraction(text, l => l.rlike("(\\.\\.\\.|…)$"))
+
+  /** Attach the five repetition/format signals. Pure column expressions (array HOFs
+    * + regex counts) — one codegen'd projection, no shuffle, no UDFs; at 100 TB this
+    * runs at scan speed alongside [[analyze]].
+    */
+  def repetitionSignals(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("dup_line_frac", dupLineFraction(t))
+      .withColumn("dup_word_frac", dupWordFraction(t))
+      .withColumn("symbol_word_ratio", symbolToWordRatio(t))
+      .withColumn("bullet_line_frac", bulletLineFraction(t))
+      .withColumn("ellipsis_line_frac", ellipsisLineFraction(t))
+  }
+
+  /** Repetition/format keep-filter with published-rule-shaped defaults (duplicate
+    * lines ≤ 30%, duplicate words ≤ 70%, symbols/word ≤ 0.1, bullet lines ≤ 90%,
+    * ellipsis lines ≤ 30%). Null text is dropped.
+    */
+  def passesRepetitionFilter(text: Column,
+      maxDupLineFrac: Double = 0.30, maxDupWordFrac: Double = 0.70,
+      maxSymbolWordRatio: Double = 0.10, maxBulletLineFrac: Double = 0.90,
+      maxEllipsisLineFrac: Double = 0.30): Column =
+    coalesce(
+      dupLineFraction(text) <= maxDupLineFrac &&
+        dupWordFraction(text) <= maxDupWordFrac &&
+        symbolToWordRatio(text) <= maxSymbolWordRatio &&
+        bulletLineFraction(text) <= maxBulletLineFrac &&
+        ellipsisLineFraction(text) <= maxEllipsisLineFrac,
+      lit(false))
+
   // ------------------------------------------------------------- cleaning operators
 
   /** Unicode NFC normalization — composed vs decomposed accents break exact dedup;

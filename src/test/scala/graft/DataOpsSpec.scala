@@ -367,4 +367,71 @@ class DataOpsSpec extends SparkTestBase {
     assert(java.util.Arrays.equals(thumb1.thumbnail, thumb2.thumbnail),
       "PNG re-encode is not deterministic — decode goldens would be unstable")
   }
+
+  test("repetition signals: planted line/word/symbol geometry yields exact fractions") {
+    import spark.implicits._
+    val rows = Seq(
+      // 4 lines, one duplicated pair → dup_line 1/4; bullet starts 2/4; ellipsis 1/4
+      (1L, "• nav home\n• nav home\nreal content line…\nanother line"),
+      (2L, "one two three four"),      // single line, 4 distinct words
+      (3L, "spam spam spam spam"),     // dup_word 3/4
+      (4L, "# # … tag"),               // 3 symbols / 1 word token ("tag")
+      (5L, ""), (6L, "   \n  \n "))    // empty / whitespace-only → all zeros
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(rows, "text")
+      .select("doc_id", "dup_line_frac", "dup_word_frac", "symbol_word_ratio",
+        "bullet_line_frac", "ellipsis_line_frac")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    // 9 word tokens (nav home ×2, real content line, another line), 3 repeats;
+    // one '…' symbol; 4 lines with one duplicated pair, 2 bullet starts, 1 ellipsis end
+    assert(got(1L) == ((0.25, 3.0 / 9.0, 1.0 / 9.0, 0.5, 0.25)), s"got ${got(1L)}")
+    assert(got(2L) == ((0.0, 0.0, 0.0, 0.0, 0.0)))
+    assert(got(3L) == ((0.0, 0.75, 0.0, 0.0, 0.0)))
+    assert(got(4L)._3 == 3.0, s"symbol ratio ${got(4L)}")
+    assert(got(5L) == ((0.0, 0.0, 0.0, 0.0, 0.0)))
+    assert(got(6L) == ((0.0, 0.0, 0.0, 0.0, 0.0)))
+    // the keep-filter composes the same signals; spam and symbol docs fail, doc 2 passes
+    val kept = rows.where(TextAnalysis.passesRepetitionFilter(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(2L) && !kept.contains(3L) && !kept.contains(4L), s"kept $kept")
+    // scan-speed contract: one projection, no exchange in the plan
+    val plan = TextAnalysis.repetitionSignals(rows, "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
+  test("decontamination: substring and n-gram paths agree on token-aligned leaks") {
+    import spark.implicits._
+    val benchQ = "what is the capital city of france paris" // exactly 8 tokens = one 8-gram
+    val clean = "a perfectly ordinary training document about cooking pasta at home tonight"
+    val docs = Seq(
+      (1L, s"intro text $benchQ outro text padding words here"), // verbatim leak
+      (2L, clean),
+      (3L, "what is the capital of spain madrid not france"),    // shares tokens, no 8-gram
+      (4L, s"${benchQ.toUpperCase} WITH DIFFERENT, PUNCTUATION!"), // leak modulo case/punct
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val bench = Seq(benchQ).toDF("snippet")
+    val bySubstr = Decontaminate.flagContains(docs, "text", bench, "snippet")
+      .where(col("contaminated")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bySubstr == Set(1L), s"substring path flagged $bySubstr")
+    val byNgram = Decontaminate.flagNgramOverlap(docs, "text", bench, "snippet", n = 8)
+      .where(col("contaminated")).select("doc_id").collect().map(_.getLong(0)).toSet
+    // tokenization collapses case and punctuation: the n-gram path also catches doc 4
+    assert(byNgram == Set(1L, 4L), s"ngram path flagged $byNgram")
+    assert(Decontaminate.removeContains(docs, "text", bench, "snippet").count() == 4)
+    assert(Decontaminate.removeNgramOverlap(docs, "text", bench, "snippet", n = 8).count() == 3)
+    // empty benchmark flags nothing (and does not error on the 1-row broadcast)
+    val none = Decontaminate.flagContains(docs, "text", bench.where(lit(false)), "snippet")
+    assert(none.where(col("contaminated")).count() == 0)
+    // n shorter than every document still works; n longer than every document flags nothing
+    assert(Decontaminate.flagNgramOverlap(docs, "text", bench, "snippet", n = 100)
+      .where(col("contaminated")).count() == 0)
+    // corpus-side plan: broadcast join, and NO exchange on the document side (the
+    // only exchange feeds the broadcast of the 1-row benchmark aggregate)
+    val plan = Decontaminate.flagContains(docs, "text", bench, "snippet")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(!plan.contains("hashpartitioning"), plan.take(1500))
+  }
 }
