@@ -551,6 +551,36 @@ object DataQueries {
       "SELECT t.doc_id, (EXISTS (SELECT 1 FROM dg JOIN bg ON dg.g = bg.g " +
       "WHERE dg.doc_id = t.doc_id))::INT AS contaminated FROM tok t ORDER BY doc_id"
 
+  /** Corpus-wide line-level boilerplate dedup: docs get a shared header/footer line
+    * planted on id-keyed subsets (plus whatever 4-word lines repeat naturally in the
+    * word-bag corpus); every line ≥10 chars that repeats anywhere survives only at
+    * its first `(doc_id, pos)` occurrence.
+    */
+  private val qLineDedup: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val t = concat(
+      when(col("doc_id") % 3 === 0, lit("SHARED BOILERPLATE LINE ALPHA\n")).otherwise(lit("")),
+      regexp_replace(col("text"), "(\\S+ \\S+ \\S+ \\S+) ", "$1\n"),
+      when(col("doc_id") % 4 === 0, lit("\nSHARED FOOTER LINE BETA")).otherwise(lit("")))
+    Dedup.dedupLines(d.select(col("doc_id"), t.as("text")), "doc_id", "text",
+        minLineChars = 10)
+      .orderBy("doc_id")
+  }
+  private val qLineDedupSql =
+    "WITH t0 AS (SELECT doc_id, " +
+      "(CASE WHEN doc_id % 3 = 0 THEN 'SHARED BOILERPLATE LINE ALPHA' || chr(10) ELSE '' END) " +
+      "|| regexp_replace(text, '(\\S+ \\S+ \\S+ \\S+) ', '\\1' || chr(10), 'g') " +
+      "|| (CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'SHARED FOOTER LINE BETA' ELSE '' END) AS text " +
+      "FROM documents), " +
+      "sp AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM t0), " +
+      "e AS (SELECT doc_id, unnest(l) AS line, unnest(generate_series(1, len(l))) AS pos FROM sp), " +
+      "k AS (SELECT doc_id, pos, line, trim(line) AS tl, length(trim(line)) >= 10 AS elig FROM e), " +
+      "d AS (SELECT *, CASE WHEN elig THEN count(*) OVER (PARTITION BY tl) ELSE 1 END AS cnt, " +
+      "CASE WHEN elig THEN row_number() OVER (PARTITION BY tl ORDER BY doc_id, pos) ELSE 1 END AS rn FROM k), " +
+      "r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text FROM d " +
+      "WHERE cnt = 1 OR rn = 1 GROUP BY doc_id) " +
+      "SELECT t0.doc_id, coalesce(r.text, '') AS text FROM t0 LEFT JOIN r USING (doc_id) ORDER BY doc_id"
+
   // ----------------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -575,7 +605,8 @@ object DataQueries {
     "q_jaro_sim" -> qJaroSim,
     "q_repetition" -> qRepetition,
     "q_decontam" -> qDecontam,
-    "q_decontam_ngram" -> qDecontamNgram)
+    "q_decontam_ngram" -> qDecontamNgram,
+    "q_line_dedup" -> qLineDedup)
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
@@ -599,5 +630,6 @@ object DataQueries {
     "q_jaro_sim" -> qJaroSimSql,
     "q_repetition" -> qRepetitionSql,
     "q_decontam" -> qDecontamSql,
-    "q_decontam_ngram" -> qDecontamNgramSql)
+    "q_decontam_ngram" -> qDecontamNgramSql,
+    "q_line_dedup" -> qLineDedupSql)
 }

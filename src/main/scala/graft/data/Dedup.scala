@@ -25,6 +25,69 @@ object Dedup {
       .withColumnRenamed("__h", "text_md5")
   }
 
+  /** Cross-document LINE dedup — the boilerplate-removal pass of a web-text
+    * pipeline: a line repeated across the corpus (nav menus, cookie banners, footer
+    * legalese) is kept only at its FIRST occurrence (min `(id, position)`), every
+    * other copy is dropped, and the surviving lines are reassembled in order.
+    *
+    * Lines shorter than `minLineChars` after trimming are exempt (never deduped):
+    * short lines ("Home", "1.", "") repeat naturally and carry no boilerplate
+    * signal. Dedup keys lines WITHIN `scope` — `lit(0)` (default) dedups corpus-wide;
+    * pass e.g. the domain column to drop only per-site boilerplate.
+    *
+    * Scale shape: explode to lines; aggregate `(count, first occurrence)` per
+    * `(xxhash64(scope, line), line length)` key with map-side partials (count/min
+    * combine, so a line repeated 10⁹ times — the boilerplate hot key — reduces
+    * per-mapper before the shuffle); keep only keys that actually have duplicates
+    * and LEFT-join that (much smaller) decision set back, where AQE's skew-join
+    * splitting absorbs the hot keys a window over the same key could not; then one
+    * groupBy(id) rebuilds documents. Exempt lines bypass the key path entirely
+    * (they would otherwise form one giant null partition). Nothing quadratic, no
+    * driver collection. The 64-bit-hash+length key mirrors what published pipelines
+    * shuffle; a corpus with ~10⁹ distinct lines has a ~10⁻² chance of ONE colliding
+    * pair corpus-wide (birthday bound), which would drop one innocent line —
+    * acceptable for curation; swap the key for the line itself if exactness ever
+    * outranks shuffle width.
+    *
+    * @return `(idCol, textCol)` with `textCol` rewritten; every input row is
+    *         preserved (a document whose every line was removed keeps an empty
+    *         string; a null text stays null).
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+      minLineChars: Int = 10, scope: Column = lit(0)): DataFrame = {
+    require(minLineChars >= 0, s"minLineChars must be >= 0, got $minLineChars")
+    val lines = docs
+      .select(col(idCol), scope.as("__scope"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val trimmed = trim(col("__line"))
+    val keyed = lines.withColumn("__h",
+      when(length(trimmed) >= minLineChars,
+        struct(xxhash64(col("__scope"), trimmed), length(trimmed))))
+    val eligible = keyed.where(col("__h").isNotNull)
+    // only keys with duplicates need a decision row: the join's build side shrinks
+    // to the duplicated-line set, and the min-(id,pos) "first occurrence" is the
+    // deterministic keeper ordering
+    val dupKeys = eligible.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__cnt"), min(struct(col(idCol), col("__pos"))).as("__first"))
+      .where(col("__cnt") > 1)
+      .select(col("__h"), col("__first"))
+    val decided = eligible.join(dupKeys, Seq("__h"), "left")
+      .where(col("__first").isNull || struct(col(idCol), col("__pos")) === col("__first"))
+      .drop("__first")
+      .unionByName(keyed.where(col("__h").isNull))
+    val rebuilt = decided.groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__line")))),
+        x => x.getField("__line")), "\n").as("__text"))
+    // left join back: rows with zero surviving lines (or null text → no exploded
+    // rows at all) must not vanish from the corpus frame
+    docs.select(col(idCol), col(textCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col(textCol).isNull, lit(null))
+          .otherwise(coalesce(col("__text"), lit(""))).as(textCol))
+  }
+
   /** Distinct character shingles of length k, computed per-row with higher-order
     * functions (no explode of the corpus).
     */

@@ -400,6 +400,43 @@ class DataOpsSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan.take(1500))
   }
 
+  test("line dedup keeps boilerplate only at its first (id, pos) occurrence") {
+    import spark.implicits._
+    val banner = "COOKIE BANNER ACCEPT ALL"
+    val docs = Seq(
+      (1L, s"UNIQUE CONTENT LINE ONE\n$banner\nmore unique text here"),
+      (2L, s"$banner\nsecond doc body line"),
+      (3L, banner),                       // only line is a later duplicate → ""
+      (4L, "ok\nok\nok"),                 // short lines exempt → unchanged
+      (5L, null.asInstanceOf[String]),    // null text survives as null
+      (6L, s"  $banner  "))               // trims equal to the banner → dropped
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs, "doc_id", "text", minLineChars = 10)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L) == s"UNIQUE CONTENT LINE ONE\n$banner\nmore unique text here")
+    assert(got(2L) == "second doc body line")
+    assert(got(3L) == "")
+    assert(got(4L) == "ok\nok\nok")
+    assert(got(5L) == null)
+    assert(got(6L) == "")
+    assert(got.size == 6) // every input row preserved
+    // per-scope dedup: different scopes never share a duplicate group
+    val scoped = Dedup.dedupLines(docs.withColumn("site", col("doc_id") % 2),
+      "doc_id", "text", minLineChars = 10, scope = col("site"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    // doc 2 (site 0) is now the first banner occurrence within its own scope
+    assert(scoped(2L) == s"$banner\nsecond doc body line")
+    assert(scoped(6L) == "") // site 0, later than doc 2
+    assert(scoped(1L).contains(banner)) // site 1's first occurrence
+    assert(scoped(3L) == "") // site 1, later than doc 1
+    // scale-shape: the decision aggregation is a partial-aggregated groupBy + join,
+    // NOT a window over the line key (a window partition cannot be skew-split and
+    // would funnel a corpus-hot boilerplate line through one task)
+    val plan = Dedup.dedupLines(docs, "doc_id", "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "), plan.take(1500))
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"), plan.take(1500))
+  }
+
   test("decontamination: substring and n-gram paths agree on token-aligned leaks") {
     import spark.implicits._
     val benchQ = "what is the capital city of france paris" // exactly 8 tokens = one 8-gram
