@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   *  - [[flagContains]] — exact SUBSTRING match against a set of benchmark snippets.
   *    The snippet set is aggregated to a single array row and broadcast; each
   *    document is checked in one codegen'd projection (`exists(snips, contains)`).
-  *    No shuffle of the corpus, no explode — the 100-TB plan is scan → project.
-  *    Right when the benchmark is small enough to broadcast verbatim (eval suites
-  *    are MBs against a 100-TB corpus).
+  *    No shuffle of the corpus, no explode — the plan is scan → project — but the
+  *    per-row CPU is O(#snippets × |text|): each snippet re-scans the document.
+  *    Fully lazy (no driver action), right for interactive use and small snippet
+  *    sets. For a real eval suite (10⁴–10⁶ snippets) against a 100-TB corpus use
+  *    [[flagContainsCompiled]], which matches ALL snippets in one O(|text|)
+  *    Aho–Corasick pass per document.
   *
   *  - [[flagNgramOverlap]] — token n-gram HASH overlap (the published-method shape:
   *    mark a document contaminated if any of its token n-grams appears in the
@@ -60,6 +63,23 @@ object Decontaminate {
       .withColumn(outCol,
         coalesce(exists(col("__graft_snips"), s => contains(col(textCol), s)), lit(false)))
       .drop("__graft_snips")
+  }
+
+  /** Substring path compiled to an Aho–Corasick automaton: collects the distinct
+    * snippet set to the driver ONCE (an EAGER action at plan-assembly time — the
+    * same documented contract as `Ann.assign`'s centroid collect and `PrefixAgg`'s
+    * quantile bounds) and scans each document in a single O(|text|) pass regardless
+    * of snippet count. Identical semantics to [[flagContains]] (exact substring,
+    * null text → false); the production substring path for large benchmarks.
+    */
+  def flagContainsCompiled(docs: DataFrame, textCol: String, bench: DataFrame,
+      snippetCol: String, outCol: String = "contaminated"): DataFrame = {
+    val snips = bench
+      .where(col(snippetCol).isNotNull && length(col(snippetCol)) > 0)
+      .select(col(snippetCol).cast("string")).distinct()
+      .collect().map(_.getString(0))
+    docs.withColumn(outCol,
+      coalesce(graft.functions.textfns.multiContains(col(textCol), snips.toSeq), lit(false)))
   }
 
   /** Add boolean `outCol`: does any token `n`-gram of the document appear among the

@@ -51,14 +51,21 @@ object Dedup {
     *
     * @return `(idCol, textCol)` with `textCol` rewritten; every input row is
     *         preserved (a document whose every line was removed keeps an empty
-    *         string; a null text stays null).
+    *         string; a null text stays null). Rows with a NULL id pass through
+    *         UNTOUCHED: a null id cannot anchor the `(id, pos)` keeper identity
+    *         (and two null-id docs would merge on reassembly), so — like
+    *         [[dupClusters]]'s null-edge policy — they are exempt rather than
+    *         silently corrupted. Lines split on `\r?\n` (CRLF web text must dedup
+    *         against LF copies of the same boilerplate); the `\r` never reaches
+    *         the hash key or the rebuilt text.
     */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
       minLineChars: Int = 10, scope: Column = lit(0)): DataFrame = {
     require(minLineChars >= 0, s"minLineChars must be >= 0, got $minLineChars")
-    val lines = docs
+    val withId = docs.where(col(idCol).isNotNull)
+    val lines = withId
       .select(col(idCol), scope.as("__scope"),
-        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+        posexplode(split(col(textCol), "\r?\n")).as(Seq("__pos", "__line")))
     val trimmed = trim(col("__line"))
     val keyed = lines.withColumn("__h",
       when(length(trimmed) >= minLineChars,
@@ -81,11 +88,12 @@ object Dedup {
         x => x.getField("__line")), "\n").as("__text"))
     // left join back: rows with zero surviving lines (or null text → no exploded
     // rows at all) must not vanish from the corpus frame
-    docs.select(col(idCol), col(textCol))
+    withId.select(col(idCol), col(textCol))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         when(col(textCol).isNull, lit(null))
           .otherwise(coalesce(col("__text"), lit(""))).as(textCol))
+      .unionByName(docs.where(col(idCol).isNull).select(col(idCol), col(textCol)))
   }
 
   /** Distinct character shingles of length k, computed per-row with higher-order

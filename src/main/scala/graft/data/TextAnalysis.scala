@@ -77,11 +77,13 @@ object TextAnalysis {
 
   // -------------------------------------------- repetition / format signals (Gopher)
 
-  /** Trimmed, non-empty lines of a document. Trim is ASCII-space (Spark `trim` and
-    * DuckDB `trim` agree), so the oracle splits identically.
+  /** Trimmed, non-empty lines of a document. Splits on `\r?\n` so CRLF pages see
+    * the same lines as LF pages (a trailing `\r` would survive ASCII-space trim and
+    * skew every line-keyed signal). Trim is ASCII-space (Spark `trim` and DuckDB
+    * `trim` agree), so the oracle splits identically.
     */
   def lines(text: Column): Column =
-    filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+    filter(transform(split(text, "\r?\n"), l => trim(l)), l => length(l) > 0)
 
   /** Lowercased word tokens (letter/digit runs) as an array — the same tokenization
     * [[wordCounts]] and the decontamination n-grams use.
@@ -110,11 +112,15 @@ object TextAnalysis {
   def dupWordFraction(text: Column): Column = dupFraction(wordTokens(text))
 
   /** '#' / '…' symbols per word — the classic symbol-to-word screen for markup and
-    * truncation residue.
+    * truncation residue. 0.0 on null text, like the four sibling signals (null
+    * handling must be uniform across the family — consumers filter on any one of
+    * them interchangeably).
     */
   def symbolToWordRatio(text: Column): Column =
-    regexp_count(text, lit("[#…]")).cast("double") /
-      greatest(size(wordTokens(text)).cast("double"), lit(1.0))
+    coalesce(
+      regexp_count(text, lit("[#…]")).cast("double") /
+        greatest(size(wordTokens(text)).cast("double"), lit(1.0)),
+      lit(0.0))
 
   /** Fraction of lines that start with a bullet marker. */
   def bulletLineFraction(text: Column): Column =
@@ -141,14 +147,17 @@ object TextAnalysis {
 
   /** Repetition/format keep-filter with published-rule-shaped defaults (duplicate
     * lines ≤ 30%, duplicate words ≤ 70%, symbols/word ≤ 0.1, bullet lines ≤ 90%,
-    * ellipsis lines ≤ 30%). Null text is dropped.
+    * ellipsis lines ≤ 30%). Null text is dropped — by the explicit `isNotNull`
+    * conjunct, NOT by relying on any individual signal propagating null (all five
+    * signals are 0.0 on null text).
     */
   def passesRepetitionFilter(text: Column,
       maxDupLineFrac: Double = 0.30, maxDupWordFrac: Double = 0.70,
       maxSymbolWordRatio: Double = 0.10, maxBulletLineFrac: Double = 0.90,
       maxEllipsisLineFrac: Double = 0.30): Column =
     coalesce(
-      dupLineFraction(text) <= maxDupLineFrac &&
+      text.isNotNull &&
+        dupLineFraction(text) <= maxDupLineFrac &&
         dupWordFraction(text) <= maxDupWordFrac &&
         symbolToWordRatio(text) <= maxSymbolWordRatio &&
         bulletLineFraction(text) <= maxBulletLineFrac &&
@@ -193,8 +202,7 @@ object TextAnalysis {
     * map-side combine; at 100 TB this is the canonical word-count shape.
     */
   def wordCounts(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+")).as("token"))
-      .where(length(col("token")) > 0)
+    df.select(explode(wordTokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
 
   /** Convenience: attach all analysis columns. */

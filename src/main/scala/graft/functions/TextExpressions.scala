@@ -329,6 +329,94 @@ case class CharacterEntropy(child: Expression) extends UnaryExpression {
 }
 
 /** Column-level entry points. */
+/** Aho–Corasick multi-pattern substring automaton: does the text contain ANY of the
+  * patterns? One O(|text|) scan regardless of pattern count — vs the
+  * `exists(snips, contains)` formulation, which re-scans the document once per
+  * snippet. Built once on the driver, shipped to executors as a codegen reference
+  * object (same mechanism as the PrefixAgg quantile bounds).
+  *
+  * Standard construction: goto trie + BFS failure links, with terminal marks
+  * propagated through the links so a match ending mid-trie (a pattern that is a
+  * proper suffix of another's prefix path) is still seen.
+  */
+final class AhoCorasick(patterns: Array[String]) extends Serializable {
+  private val gotoMaps =
+    scala.collection.mutable.ArrayBuffer(new java.util.HashMap[Character, Integer]())
+  private val terminal = scala.collection.mutable.ArrayBuffer(false)
+  // an empty-string pattern is a substring of everything (String.contains agrees)
+  private val matchesAll: Boolean = patterns.exists(_.isEmpty)
+  patterns.foreach { p =>
+    var s = 0
+    var i = 0
+    while (i < p.length) {
+      val c = Character.valueOf(p.charAt(i))
+      var t = gotoMaps(s).get(c)
+      if (t == null) {
+        gotoMaps += new java.util.HashMap[Character, Integer]()
+        terminal += false
+        t = Integer.valueOf(gotoMaps.size - 1)
+        gotoMaps(s).put(c, t)
+      }
+      s = t.intValue()
+      i += 1
+    }
+    if (p.nonEmpty) terminal(s) = true
+  }
+  private val fail = new Array[Int](gotoMaps.size)
+  locally {
+    val q = new java.util.ArrayDeque[Integer]()
+    gotoMaps(0).forEach((_, s) => { fail(s.intValue()) = 0; q.add(s) })
+    while (!q.isEmpty) {
+      val u = q.poll().intValue()
+      if (terminal(fail(u))) terminal(u) = true
+      gotoMaps(u).forEach { (c, v) =>
+        q.add(v)
+        var f = fail(u)
+        while (f != 0 && gotoMaps(f).get(c) == null) f = fail(f)
+        val t = gotoMaps(f).get(c)
+        fail(v.intValue()) = if (t != null && t.intValue() != v.intValue()) t.intValue() else 0
+      }
+    }
+  }
+
+  def containsAny(text: String): Boolean = {
+    if (matchesAll) return true
+    var s = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = Character.valueOf(text.charAt(i))
+      var t = gotoMaps(s).get(c)
+      while (t == null && s != 0) { s = fail(s); t = gotoMaps(s).get(c) }
+      s = if (t == null) 0 else t.intValue()
+      if (terminal(s)) return true
+      i += 1
+    }
+    false
+  }
+  def containsAnyU8(t: UTF8String): Boolean = containsAny(t.toString)
+}
+
+/** Boolean: text contains any of `patterns` (compiled Aho–Corasick; null text →
+  * null). `patterns` is plan-time data — the literal snippet list — so equality /
+  * explain / canonicalization see it like any other expression parameter.
+  */
+case class MultiContains(child: Expression, patterns: Seq[String]) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  @transient private lazy val ac = new AhoCorasick(patterns.toArray)
+
+  override def nullSafeEval(v: Any): Any = ac.containsAnyU8(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("graftAc", ac, classOf[AhoCorasick].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.containsAnyU8($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object textfns {
   private def e(c: Column): Expression = ColumnBridge.expression(c)
   private def col(ex: Expression): Column = ColumnBridge.column(ex)
@@ -349,4 +437,7 @@ object textfns {
   def ngramJaccardSim(l: Column, r: Column, n: Int = 2): Column = col(NgramJaccardSimilarity(e(l), e(r), n))
   def charEntropy(c: Column): Column = col(CharacterEntropy(e(c)))
   def nfcNormalize(c: Column): Column = col(NfcNormalize(e(c)))
+  /** True iff the text contains any of `patterns` (one compiled-automaton pass). */
+  def multiContains(text: Column, patterns: Seq[String]): Column =
+    col(MultiContains(e(text), patterns))
 }

@@ -376,13 +376,19 @@ class DataOpsSpec extends SparkTestBase {
       (2L, "one two three four"),      // single line, 4 distinct words
       (3L, "spam spam spam spam"),     // dup_word 3/4
       (4L, "# # … tag"),               // 3 symbols / 1 word token ("tag")
-      (5L, ""), (6L, "   \n  \n "))    // empty / whitespace-only → all zeros
+      (5L, ""), (6L, "   \n  \n "),    // empty / whitespace-only → all zeros
+      (7L, null.asInstanceOf[String])) // null text → all five 0.0 (uniform family)
       .toDF("doc_id", "text")
-    val got = TextAnalysis.repetitionSignals(rows, "text")
+    val sigRows = TextAnalysis.repetitionSignals(rows, "text")
       .select("doc_id", "dup_line_frac", "dup_word_frac", "symbol_word_ratio",
         "bullet_line_frac", "ellipsis_line_frac")
-      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+      .collect()
+    // every signal column is non-null on every row — including the null-text doc
+    sigRows.foreach(r => (1 to 5).foreach(i =>
+      assert(!r.isNullAt(i), s"signal col $i null at doc ${r.getLong(0)}")))
+    val got = sigRows.map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3),
         r.getDouble(4), r.getDouble(5))).toMap
+    assert(got(7L) == ((0.0, 0.0, 0.0, 0.0, 0.0)))
     // 9 word tokens (nav home ×2, real content line, another line), 3 repeats;
     // one '…' symbol; 4 lines with one duplicated pair, 2 bullet starts, 1 ellipsis end
     assert(got(1L) == ((0.25, 3.0 / 9.0, 1.0 / 9.0, 0.5, 0.25)), s"got ${got(1L)}")
@@ -409,7 +415,8 @@ class DataOpsSpec extends SparkTestBase {
       (3L, banner),                       // only line is a later duplicate → ""
       (4L, "ok\nok\nok"),                 // short lines exempt → unchanged
       (5L, null.asInstanceOf[String]),    // null text survives as null
-      (6L, s"  $banner  "))               // trims equal to the banner → dropped
+      (6L, s"  $banner  "),               // trims equal to the banner → dropped
+      (7L, s"$banner\r\nCRLF BODY LINE HERE"))   // CRLF page: banner still dedups
       .toDF("doc_id", "text")
     val got = Dedup.dedupLines(docs, "doc_id", "text", minLineChars = 10)
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
@@ -419,7 +426,17 @@ class DataOpsSpec extends SparkTestBase {
     assert(got(4L) == "ok\nok\nok")
     assert(got(5L) == null)
     assert(got(6L) == "")
-    assert(got.size == 6) // every input row preserved
+    assert(got(7L) == "CRLF BODY LINE HERE")
+    assert(got.size == 7) // every input row preserved
+    // a NULL id cannot anchor (id, pos) keeper identity: the row passes through
+    // UNTOUCHED (not emptied, not merged with other null-id rows)
+    val withNullId = docs.unionByName(Seq((null.asInstanceOf[java.lang.Long],
+      "SOME PERFECTLY UNIQUE TEXT\nSOME PERFECTLY UNIQUE TEXT"))
+      .toDF("doc_id", "text"))
+    val nullRow = Dedup.dedupLines(withNullId, "doc_id", "text", minLineChars = 10)
+      .where(col("doc_id").isNull).collect()
+    assert(nullRow.length == 1 &&
+      nullRow.head.getString(1) == "SOME PERFECTLY UNIQUE TEXT\nSOME PERFECTLY UNIQUE TEXT")
     // per-scope dedup: different scopes never share a duplicate group
     val scoped = Dedup.dedupLines(docs.withColumn("site", col("doc_id") % 2),
       "doc_id", "text", minLineChars = 10, scope = col("site"))
@@ -470,5 +487,47 @@ class DataOpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
     assert(!plan.contains("hashpartitioning"), plan.take(1500))
+  }
+
+  test("Aho-Corasick multiContains equals naive contains, exhaustively over {a,b}*") {
+    import graft.functions.AhoCorasick
+    // every text of length <= 6 over {a,b} against pattern sets chosen for the
+    // automaton's hard spots: overlap, one pattern a suffix of another's prefix
+    // path (terminal propagation via fail links), single chars, and full-length
+    val texts = (0 to 6).flatMap(n => (0 until (1 << n)).map(m =>
+      (0 until n).map(i => if (((m >> i) & 1) == 0) 'a' else 'b').mkString))
+    val patternSets = Seq(
+      Seq("ab"), Seq("aa", "bb"), Seq("aba", "ba"), Seq("abab", "bab"),
+      Seq("a"), Seq("abba", "bba", "b"), Seq("aaaaaa"), Seq("ab", "ba", "aa", "bb"))
+    patternSets.foreach { ps =>
+      val ac = new AhoCorasick(ps.toArray)
+      texts.foreach { t =>
+        val want = ps.exists(t.contains(_))
+        assert(ac.containsAny(t) == want, s"patterns=$ps text='$t' want=$want")
+      }
+    }
+    // empty pattern matches everything (String.contains semantics); empty set nothing
+    assert(new AhoCorasick(Array("", "zz")).containsAny("q"))
+    assert(!new AhoCorasick(Array.empty[String]).containsAny("anything"))
+    // unicode beyond the BMP path (chars, not code points — substring match is
+    // char-sequence equality, so surrogate pairs still match exactly)
+    assert(new AhoCorasick(Array("号🎉b")).containsAny("a号🎉ba"))
+  }
+
+  test("compiled decontamination path agrees with the lazy substring path") {
+    import spark.implicits._
+    // reuse the corpus: snippets cut from real documents, matched against all docs
+    val d = docs.select(col("doc_id"), col("text"))
+    val bench = d.where(col("doc_id") % 25 === 3)
+      .select(substring(col("text"), 11, 30).as("snippet"))
+    val lazyFlags = Decontaminate.flagContains(d, "text", bench, "snippet")
+      .select("doc_id", "contaminated").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val compiled = Decontaminate.flagContainsCompiled(d, "text", bench, "snippet")
+      .select("doc_id", "contaminated").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(lazyFlags == compiled)
+    assert(lazyFlags.values.exists(identity), "parity is vacuous if nothing matched")
+    // compiled path on an empty benchmark: flags nothing, no error
+    val none = Decontaminate.flagContainsCompiled(d, "text", bench.where(lit(false)), "snippet")
+    assert(none.where(col("contaminated")).count() == 0)
   }
 }
