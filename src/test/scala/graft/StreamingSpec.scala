@@ -255,4 +255,41 @@ class StreamingSpec extends SparkTestBase {
       col("window.end").cast("long") - col("window.start").cast("long") =!= 7L * 86400).count()
     assert(badWidth == 0)
   }
+
+  test("curation ops are streaming-safe: signals and decontamination flags on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // repetitionSignals, passesRepetitionFilter, and the compiled decontamination
+    // flag are STATELESS projections, so the same code runs per micro-batch with no
+    // state store — the streaming counterpart of the batch curation pass is the
+    // batch code itself, asserted here against the identical batch run
+    val input = MemoryStream[(Long, String)]
+    val leak = "the exact benchmark answer string"
+    val rows = Seq(
+      (1L, s"clean document body with some words and $leak inside"),
+      (2L, "spam spam spam spam spam spam"),
+      (3L, "a perfectly ordinary page about gardening tools"))
+    val bench = Seq(leak).toDF("snippet")
+    def curate(df: org.apache.spark.sql.DataFrame) = {
+      val flagged = graft.data.Decontaminate.flagContainsCompiled(
+        graft.data.TextAnalysis.repetitionSignals(df, "_2"), "_2", bench, "snippet")
+      flagged.withColumn("keep",
+        graft.data.TextAnalysis.passesRepetitionFilter(col("_2")) && !col("contaminated"))
+    }
+    val query = curate(input.toDF()).writeStream.format("memory")
+      .queryName("stream_curation").outputMode("append").start()
+    try {
+      input.addData(rows)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("stream_curation")
+      .select("_1", "dup_word_frac", "contaminated", "keep")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2), r.getBoolean(3))).toSet
+    val batch = curate(rows.toDF())
+      .select("_1", "dup_word_frac", "contaminated", "keep")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2), r.getBoolean(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.exists { case (id, _, cont, keep) => id == 1L && cont && !keep })
+    assert(streamed.exists { case (id, _, _, keep) => id == 3L && keep })
+  }
 }

@@ -135,7 +135,8 @@ class TextSpec extends SparkTestBase {
             lit(1.0), -col("id").cast("double")), 16, 4).as("srp"),
         graft.functions.vecfns.cosineSim(
           org.apache.spark.sql.functions.array(col("id").cast("double"), lit(1.0)),
-          org.apache.spark.sql.functions.array(col("id").cast("double"), lit(2.0))).as("cos"))
+          org.apache.spark.sql.functions.array(col("id").cast("double"), lit(2.0))).as("cos"),
+        textfns.multiContains(s1, Seq("martha 7", "absent pattern")).as("mc"))
       assert(df.count() == 64)
       // "*(1)" marks the WholeStageCodegen stage in the simple plan string
       assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"))
@@ -143,6 +144,7 @@ class TextSpec extends SparkTestBase {
       val r = df.head
       assert(r.getDouble(0) > 0.8 && r.getDouble(1) > 0.9)
       assert(r.getSeq[Long](7).size == 16)
+      assert(df.where(col("mc")).count() == 1) // only id=7 contains "martha 7"
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
