@@ -581,6 +581,26 @@ object DataQueries {
       "WHERE cnt = 1 OR rn = 1 GROUP BY doc_id) " +
       "SELECT t0.doc_id, coalesce(r.text, '') AS text FROM t0 LEFT JOIN r USING (doc_id) ORDER BY doc_id"
 
+  /** Quality-aware keeper selection over exact-dup groups: each md5(text) family
+    * keeps its highest-quality copy (deterministic quality = doc_id % 97; ties →
+    * min id). With copies at +100000 the planted groups usually prefer the COPY
+    * (100000 % 97 = 86 shifts the score), so the gate genuinely distinguishes
+    * max-quality from min-id keeping.
+    */
+  private val qKeepBest: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val scored = docsWithDups(spark, dir)
+      .withColumn("quality", (col("doc_id") % 97).cast("double"))
+      .withColumn("g", md5(col("text")))
+    Dedup.keepBest(scored, "g", "doc_id", "quality")
+      .select(col("doc_id"), col("quality")).orderBy("doc_id")
+  }
+  private val qKeepBestSql =
+    s"WITH d AS ($docsWithDupsSql), " +
+      "s AS (SELECT doc_id, (doc_id % 97)::DOUBLE AS quality, md5(text) AS g FROM d), " +
+      "r AS (SELECT doc_id, quality, row_number() OVER (PARTITION BY g " +
+      "ORDER BY quality DESC, doc_id ASC) AS rn FROM s) " +
+      "SELECT doc_id, quality FROM r WHERE rn = 1 ORDER BY doc_id"
+
   // ----------------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -606,7 +626,8 @@ object DataQueries {
     "q_repetition" -> qRepetition,
     "q_decontam" -> qDecontam,
     "q_decontam_ngram" -> qDecontamNgram,
-    "q_line_dedup" -> qLineDedup)
+    "q_line_dedup" -> qLineDedup,
+    "q_keep_best" -> qKeepBest)
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
@@ -631,5 +652,6 @@ object DataQueries {
     "q_repetition" -> qRepetitionSql,
     "q_decontam" -> qDecontamSql,
     "q_decontam_ngram" -> qDecontamNgramSql,
-    "q_line_dedup" -> qLineDedupSql)
+    "q_line_dedup" -> qLineDedupSql,
+    "q_keep_best" -> qKeepBestSql)
 }

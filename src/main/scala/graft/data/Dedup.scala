@@ -25,6 +25,31 @@ object Dedup {
       .withColumnRenamed("__h", "text_md5")
   }
 
+  /** Keeper selection for duplicate groups: keep the highest-`scoreCol` row per
+    * `groupCol` (ties → smallest `idCol`; null scores lose to any non-null score).
+    * The quality-aware complement of [[exact]]'s min-id keeper: cluster first
+    * ([[exact]]'s `text_md5`, or [[dupClusters]]' `cluster_id`), score with e.g.
+    * [[TextAnalysis.qualityScore]], then keep the best copy of each family.
+    *
+    * Scale shape: one map-side-combinable groupBy over the group key (min of a
+    * 2-field struct — skew-proof partial aggregation even when one group holds 10⁹
+    * copies) + one join back on the key, AQE-skew-splittable. Rows with a NULL
+    * group key are their own singleton family and pass through unchanged.
+    */
+  def keepBest(df: DataFrame, groupCol: String, idCol: String, scoreCol: String): DataFrame = {
+    val grouped = df.where(col(groupCol).isNotNull)
+    // min(struct(-score, id)): max score first, ties to the smallest id; a null
+    // score maps to +Inf so it can never beat a scored copy
+    val best = grouped.groupBy(col(groupCol)).agg(
+      min(struct(
+        coalesce(-col(scoreCol).cast("double"), lit(Double.PositiveInfinity)).as("ns"),
+        col(idCol).as("bid"))).as("__best"))
+    grouped.join(best, Seq(groupCol))
+      .where(col(idCol) === col("__best.bid"))
+      .drop("__best")
+      .unionByName(df.where(col(groupCol).isNull))
+  }
+
   /** Cross-document LINE dedup — the boilerplate-removal pass of a web-text
     * pipeline: a line repeated across the corpus (nav menus, cookie banners, footer
     * legalese) is kept only at its FIRST occurrence (min `(id, position)`), every

@@ -454,6 +454,36 @@ class DataOpsSpec extends SparkTestBase {
     assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"), plan.take(1500))
   }
 
+  test("keepBest keeps the max-quality copy per group, min id on ties, null group passthrough") {
+    import spark.implicits._
+    val rows = Seq(
+      // group A: quality picks id 12 (not the min id 10)
+      (10L, "A", 0.3), (11L, "A", 0.5), (12L, "A", 0.9),
+      // group B: tied quality → min id 20
+      (20L, "B", 0.7), (21L, "B", 0.7),
+      // group C: null scores lose to the scored copy; all-null group → min id
+      (30L, "C", Double.NaN), (31L, "C", 0.1),
+      // group D: singleton
+      (40L, "D", 0.2),
+      // null group: both rows pass through untouched
+      (50L, null, 0.9), (51L, null, 0.1))
+      .toDF("doc_id", "g", "quality")
+      .withColumn("quality", when(isnan(col("quality")), lit(null)).otherwise(col("quality")))
+    val kept = Dedup.keepBest(rows, "g", "doc_id", "quality")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L, 20L, 31L, 40L, 50L, 51L), s"kept $kept")
+    // all-null-score group: deterministic min-id keeper
+    val allNull = Seq((1L, "X"), (2L, "X")).toDF("doc_id", "g")
+      .withColumn("quality", lit(null).cast("double"))
+    assert(Dedup.keepBest(allNull, "g", "doc_id", "quality")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
+    // skew-safe plan: partial aggregation before the exchange, no window
+    val plan = Dedup.keepBest(rows, "g", "doc_id", "quality")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), plan.take(1500))
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"), plan.take(1500))
+  }
+
   test("decontamination: substring and n-gram paths agree on token-aligned leaks") {
     import spark.implicits._
     val benchQ = "what is the capital city of france paris" // exactly 8 tokens = one 8-gram
