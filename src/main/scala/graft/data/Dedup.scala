@@ -34,10 +34,13 @@ object Dedup {
     * Scale shape: one map-side-combinable groupBy over the group key (min of a
     * 2-field struct — skew-proof partial aggregation even when one group holds 10⁹
     * copies) + one join back on the key, AQE-skew-splittable. Rows with a NULL
-    * group key are their own singleton family and pass through unchanged.
+    * group key are their own singleton family and pass through unchanged — as do
+    * rows with a NULL id (the house policy of [[dupClusters]]/[[dedupLines]]: a
+    * null id cannot anchor keeper identity, and `id === keeper_id` would
+    * otherwise silently DROP such rows).
     */
   def keepBest(df: DataFrame, groupCol: String, idCol: String, scoreCol: String): DataFrame = {
-    val grouped = df.where(col(groupCol).isNotNull)
+    val grouped = df.where(col(groupCol).isNotNull && col(idCol).isNotNull)
     // min(struct(-score, id)): max score first, ties to the smallest id; a null
     // score maps to +Inf so it can never beat a scored copy
     val best = grouped.groupBy(col(groupCol)).agg(
@@ -47,7 +50,7 @@ object Dedup {
     grouped.join(best, Seq(groupCol))
       .where(col(idCol) === col("__best.bid"))
       .drop("__best")
-      .unionByName(df.where(col(groupCol).isNull))
+      .unionByName(df.where(col(groupCol).isNull || col(idCol).isNull))
   }
 
   /** Cross-document LINE dedup — the boilerplate-removal pass of a web-text

@@ -477,6 +477,13 @@ class DataOpsSpec extends SparkTestBase {
       .withColumn("quality", lit(null).cast("double"))
     assert(Dedup.keepBest(allNull, "g", "doc_id", "quality")
       .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
+    // a NULL id cannot anchor keeper identity: the row passes through instead of
+    // being silently dropped by the id = keeper_id filter
+    val withNullId = Seq((java.lang.Long.valueOf(60L), "Y", 0.5),
+      (null.asInstanceOf[java.lang.Long], "Y", 0.9)).toDF("doc_id", "g", "quality")
+    val keptY = Dedup.keepBest(withNullId, "g", "doc_id", "quality")
+      .select("doc_id").collect()
+    assert(keptY.length == 2 && keptY.exists(_.isNullAt(0)), keptY.mkString(", "))
     // skew-safe plan: partial aggregation before the exchange, no window
     val plan = Dedup.keepBest(rows, "g", "doc_id", "quality")
       .queryExecution.executedPlan.toString
