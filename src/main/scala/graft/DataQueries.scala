@@ -601,6 +601,42 @@ object DataQueries {
       "ORDER BY quality DESC, doc_id ASC) AS rn FROM s) " +
       "SELECT doc_id, quality FROM r WHERE rn = 1 ORDER BY doc_id"
 
+  /** Script-composition profile over documents with planted non-Latin content:
+    * every 25th doc is replaced by Cyrillic text (majority flip), others get a
+    * minority-script suffix keyed on doc_id % 4.
+    */
+  private val qScriptProfile: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val t = when(col("doc_id") % 25 === 0, lit("привет мир снова и снова"))
+      .otherwise(concat(col("text"),
+        when(col("doc_id") % 4 === 1, lit(" привет мир"))
+          .when(col("doc_id") % 4 === 2, lit(" 你好世界"))
+          .when(col("doc_id") % 4 === 3, lit(" مرحبا بالعالم"))
+          .otherwise(lit(""))))
+    val fracs = TextAnalysis.scriptFractions(t).map { case (s, c) => r6(c).as(s"${s}_frac") }
+    d.select((col("doc_id") +: fracs :+ TextAnalysis.dominantScript(t).as("dominant_script")): _*)
+      .orderBy("doc_id")
+  }
+  private val qScriptProfileSql =
+    "WITH t0 AS (SELECT doc_id, CASE WHEN doc_id % 25 = 0 THEN 'привет мир снова и снова' " +
+      "ELSE text || (CASE doc_id % 4 WHEN 1 THEN ' привет мир' WHEN 2 THEN ' 你好世界' " +
+      "WHEN 3 THEN ' مرحبا بالعالم' ELSE '' END) END AS t FROM documents), " +
+      "c AS (SELECT doc_id, length(regexp_extract_all(t, '\\p{L}'))::DOUBLE AS letters, " +
+      "length(regexp_extract_all(t, '\\p{Latin}'))::DOUBLE AS nl, " +
+      "length(regexp_extract_all(t, '\\p{Cyrillic}'))::DOUBLE AS nc, " +
+      "length(regexp_extract_all(t, '\\p{Han}'))::DOUBLE AS nh, " +
+      "length(regexp_extract_all(t, '\\p{Arabic}'))::DOUBLE AS na FROM t0), " +
+      "f AS (SELECT doc_id, letters, nl / greatest(letters, 1.0) AS latin_frac, " +
+      "nc / greatest(letters, 1.0) AS cyrillic_frac, nh / greatest(letters, 1.0) AS han_frac, " +
+      "na / greatest(letters, 1.0) AS arabic_frac FROM c) " +
+      s"SELECT doc_id, ${Seq("latin_frac", "cyrillic_frac", "han_frac", "arabic_frac")
+        .map(n => s"${r6sql(n)} AS $n").mkString(", ")}, " +
+      "CASE WHEN letters = 0 THEN 'und' " +
+      "WHEN latin_frac >= cyrillic_frac AND latin_frac >= han_frac AND latin_frac >= arabic_frac THEN 'latin' " +
+      "WHEN cyrillic_frac >= han_frac AND cyrillic_frac >= arabic_frac THEN 'cyrillic' " +
+      "WHEN han_frac >= arabic_frac THEN 'han' ELSE 'arabic' END AS dominant_script " +
+      "FROM f ORDER BY doc_id"
+
   // ----------------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -627,7 +663,8 @@ object DataQueries {
     "q_decontam" -> qDecontam,
     "q_decontam_ngram" -> qDecontamNgram,
     "q_line_dedup" -> qLineDedup,
-    "q_keep_best" -> qKeepBest)
+    "q_keep_best" -> qKeepBest,
+    "q_script_profile" -> qScriptProfile)
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
@@ -653,5 +690,6 @@ object DataQueries {
     "q_decontam" -> qDecontamSql,
     "q_decontam_ngram" -> qDecontamNgramSql,
     "q_line_dedup" -> qLineDedupSql,
-    "q_keep_best" -> qKeepBestSql)
+    "q_keep_best" -> qKeepBestSql,
+    "q_script_profile" -> qScriptProfileSql)
 }

@@ -132,6 +132,41 @@ object TextAnalysis {
   def ellipsisLineFraction(text: Column): Column =
     lineFraction(text, l => l.rlike("(\\.\\.\\.|…)$"))
 
+  // ------------------------------------------------------------ script composition
+
+  /** Unicode scripts profiled by [[scriptFractions]]. Java regex spells them
+    * `\p{IsLatin}`; RE2 (DuckDB oracle) spells the same scripts `\p{Latin}`.
+    */
+  val scripts: Seq[String] = Seq("latin", "cyrillic", "han", "arabic")
+  private val scriptRegex: Map[String, String] = Map(
+    "latin" -> "\\p{IsLatin}", "cyrillic" -> "\\p{IsCyrillic}",
+    "han" -> "\\p{IsHan}", "arabic" -> "\\p{IsArabic}")
+
+  /** Per-script fraction of LETTER characters (`script_frac` sums to ≤ 1; scripts
+    * outside the profiled set and null text give 0.0). Mixed-script documents —
+    * the classic look-alike-spam / wrong-corpus signal — show split fractions.
+    */
+  def scriptFractions(text: Column): Seq[(String, Column)] = {
+    val letters = greatest(regexp_count(text, lit("\\p{L}")).cast("double"), lit(1.0))
+    scripts.map { s =>
+      s -> coalesce(regexp_count(text, lit(scriptRegex(s))).cast("double") / letters, lit(0.0))
+    }
+  }
+
+  /** Majority script of the letter characters; ties break in [[scripts]] order
+    * (latin > cyrillic > han > arabic); "und" when the text has no letters (or is
+    * null). The comparison chain is mirrored verbatim in the oracle SQL.
+    */
+  def dominantScript(text: Column): Column = {
+    val f = scriptFractions(text).toMap
+    when(coalesce(regexp_count(text, lit("\\p{L}")), lit(0)) === 0, lit("und"))
+      .when(f("latin") >= f("cyrillic") && f("latin") >= f("han") &&
+        f("latin") >= f("arabic"), lit("latin"))
+      .when(f("cyrillic") >= f("han") && f("cyrillic") >= f("arabic"), lit("cyrillic"))
+      .when(f("han") >= f("arabic"), lit("han"))
+      .otherwise(lit("arabic"))
+  }
+
   /** Attach the five repetition/format signals. Pure column expressions (array HOFs
     * + regex counts) — one codegen'd projection, no shuffle, no UDFs; at 100 TB this
     * runs at scan speed alongside [[analyze]].

@@ -454,6 +454,33 @@ class DataOpsSpec extends SparkTestBase {
     assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"), plan.take(1500))
   }
 
+  test("script fractions and dominant script on planted mixed-script text") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "hello world"),                   // pure latin
+      (2L, "привет мир"),                    // pure cyrillic
+      (3L, "hello привет 你好 مرحبا"),        // mixed, latin ties broken first
+      (4L, "你好世界 你好"),                   // majority han
+      (5L, "12345 !!!"),                     // no letters → und, all fracs 0
+      (6L, null.asInstanceOf[String]))       // null text → und, all fracs 0
+      .toDF("doc_id", "text")
+    val f = TextAnalysis.scriptFractions(col("text"))
+    val got = rows.select(
+        (col("doc_id") +: f.map { case (s, c) => c.as(s) } :+
+          TextAnalysis.dominantScript(col("text")).as("dom")): _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)), r.getString(5))).toMap
+    assert(got(1L) == (((1.0, 0.0, 0.0, 0.0), "latin")))
+    assert(got(2L) == (((0.0, 1.0, 0.0, 0.0), "cyrillic")))
+    assert(got(4L)._2 == "han" && got(4L)._1._3 == 1.0)
+    assert(got(5L) == (((0.0, 0.0, 0.0, 0.0), "und")))
+    assert(got(6L) == (((0.0, 0.0, 0.0, 0.0), "und")))
+    // mixed doc: 10 latin letters of 'hello'+'world'? no — hello=5, привет=6, 你好=2, مرحبا=5
+    val (fr, dom) = got(3L)
+    assert(fr._1 > 0 && fr._2 > 0 && fr._3 > 0 && fr._4 > 0 && math.abs(fr._1 + fr._2 + fr._3 + fr._4 - 1.0) < 1e-9)
+    assert(dom == "cyrillic") // привет (6) is the largest letter group
+  }
+
   test("keepBest keeps the max-quality copy per group, min id on ties, null group passthrough") {
     import spark.implicits._
     val rows = Seq(
