@@ -313,6 +313,58 @@ class WebSpec extends SparkTestBase {
       sin(col("id").cast("double")).as("v")), numRanges = 64, "numRanges >> distinct keys")
   }
 
+  test("WARC source parses records, skips malformed ones, and filters pages") {
+    import graft.web.WarcSource
+    def rec(typ: String, url: String, date: String, payload: Array[Byte]): Array[Byte] = {
+      val header = s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Date: $date\r\n" +
+        (if (url.nonEmpty) s"WARC-Target-URI: $url\r\n" else "") +
+        s"Content-Length: ${payload.length}\r\n\r\n"
+      header.getBytes("ISO-8859-1") ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    def http(status: Int, body: String): Array[Byte] =
+      s"HTTP/1.1 $status X\r\nContent-Type: text/html\r\n\r\n$body".getBytes("UTF-8")
+
+    val good1 = rec("response", "http://a.example/x", "2024-01-01T00:00:00Z",
+      http(200, "<html><body>alpha page</body></html>"))
+    val req = rec("request", "http://a.example/x", "2024-01-01T00:00:00Z",
+      "GET /x HTTP/1.1\r\n\r\n".getBytes("UTF-8"))
+    val notFound = rec("response", "http://a.example/gone", "2024-01-02T00:00:00Z",
+      http(404, "nope"))
+    // malformed: bogus Content-Length — must cost ONE record, not the shard
+    val broken = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Date: 2024-01-03T00:00:00Z\r\n" +
+      "Content-Length: zzz\r\n\r\njunk").getBytes("ISO-8859-1")
+    val good2 = rec("response", "http://b.example/y", "2024-01-04T12:30:00Z",
+      http(200, "<html>beta</html>"))
+    val shard = good1 ++ req ++ notFound ++ broken ++ good2
+
+    val dir = java.nio.file.Files.createTempDirectory("warc_test")
+    java.nio.file.Files.write(dir.resolve("shard-00000.warc"), shard)
+    // gzipped twin of the same shard (multi-record, one member)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(shard); gz.close()
+    java.nio.file.Files.write(dir.resolve("shard-00001.warc.gz"), bos.toByteArray)
+
+    val recs = WarcSource.records(spark, dir.toString + "/*")
+    val all = recs.collect()
+    // per shard: good1 + req + notFound + good2 parse; broken is skipped — ×2 shards
+    assert(all.length == 8, all.map(r => (r.path, r.record_type, r.url)).mkString(", "))
+    val g1 = all.filter(r => r.url == "http://a.example/x" && r.record_type == "response")
+    assert(g1.length == 2 && g1.forall(r =>
+      new String(r.body, "UTF-8") == "<html><body>alpha page</body></html>" &&
+        r.http_status == 200 && r.content_type == "text/html"))
+    assert(all.count(_.record_type == "request") == 2)
+
+    val pages = WarcSource.pages(recs).collect()
+    // only 2xx responses with a url survive: good1 + good2, from each shard
+    assert(pages.length == 4, pages.mkString(", "))
+    assert(pages.forall(_.getInt(3) == 200))
+    assert(pages.map(_.getString(0)).toSet ==
+      Set("http://a.example/x", "http://b.example/y"))
+    val ts = pages.map(_.getTimestamp(1).toInstant.toString).toSet
+    assert(ts == Set("2024-01-01T00:00:00Z", "2024-01-04T12:30:00Z"))
+  }
+
   test("metrics listener captures per-task lineage and skew ratio") {
     val l = GraftMetricsListener.attach(spark)
     pages.groupBy("domain_id").count().count()
