@@ -481,6 +481,40 @@ class DataOpsSpec extends SparkTestBase {
     assert(dom == "cyrillic") // привет (6) is the largest letter group
   }
 
+  test("line dedup matches a sequential reference on random corpora (property)") {
+    import spark.implicits._
+    // deterministic pseudo-random corpora from a tiny line vocabulary, so
+    // cross-document repeats are dense and every geometry (first occurrence mid-doc,
+    // whole-doc wipeouts, exempt short lines) appears by construction
+    val vocab = Vector("AAAA BBBB CCCC", "DDDD EEEE FFFF", "GGGG HHHH IIII",
+      "JJ", "", "KKKK LLLL MMMM NNNN", "OOOO PPPP")
+    val rnd = new scala.util.Random(20260817L)
+    (1 to 5).foreach { trial =>
+      val docs = (0L until 40L).map { id =>
+        val n = 1 + rnd.nextInt(6)
+        id -> (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString("\n")
+      }
+      val minChars = 5
+      // sequential reference: first (id, pos) occurrence of each eligible line wins
+      val seen = scala.collection.mutable.Set[String]()
+      val want = docs.map { case (id, text) =>
+        val kept = text.split("\n", -1).filter { line =>
+          val t = line.trim
+          if (t.length < minChars) true
+          else if (seen.contains(t)) false
+          else { seen.add(t); true }
+        }
+        id -> kept.mkString("\n")
+      }.toMap
+      val got = Dedup.dedupLines(docs.toDF("doc_id", "text"), "doc_id", "text",
+          minLineChars = minChars)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == want,
+        s"trial $trial: ${got.toSeq.sortBy(_._1).zip(want.toSeq.sortBy(_._1))
+          .filter(p => p._1 != p._2).take(3)}")
+    }
+  }
+
   test("keepBest keeps the max-quality copy per group, min id on ties, null group passthrough") {
     import spark.implicits._
     val rows = Seq(
