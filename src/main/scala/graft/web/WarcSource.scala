@@ -9,14 +9,17 @@ import org.apache.spark.sql.functions._
   * response as payload (status line + headers + blank line + body).
   *
   * Read shape: `binaryFile` loads each shard as ONE whole-file row, so parallelism
-  * is per-shard — exactly how Common Crawl distributes (thousands of ~1 GB
-  * `.warc.gz` shards per crawl, one task each; memory per task is bounded by one
-  * decompressed record set, streamed record-by-record below). The reader is NOT
-  * split-inside-a-shard: CC's record-level gzip members would allow that with a
-  * custom Hadoop InputFormat, which is deliberately out of scope — shard-level
-  * parallelism already yields tens of thousands of tasks on a real crawl.
-  * Multi-member gzip (CC's layout: one gzip member per record) decompresses
-  * transparently — JDK `GZIPInputStream` reads concatenated members.
+  * is per-shard — exactly how Common Crawl distributes (thousands of shards per
+  * crawl, one task each). The reader is NOT split-inside-a-shard: CC's
+  * record-level gzip members would allow that with a custom Hadoop InputFormat,
+  * which is deliberately out of scope — shard-level parallelism already yields
+  * tens of thousands of tasks on a real crawl. Multi-member gzip (CC's layout:
+  * one gzip member per record) decompresses transparently — JDK `GZIPInputStream`
+  * reads concatenated members. HONEST LIMIT: the whole-shard buffer caps a shard
+  * at 2 GB DECOMPRESSED (JVM array bound); a full-size CC shard (~1 GB gz ≈ 4 GB
+  * raw) must be re-sharded upstream or read uncompressed under the bound — the
+  * record parser itself is position-based and would port unchanged onto a
+  * streaming InputFormat.
   *
   * Malformed records (truncated payload, missing mandatory headers, non-numeric
   * Content-Length) are SKIPPED, never fatal: on a 100-TB crawl a poison record
@@ -38,16 +41,23 @@ object WarcSource {
       http_status: Int,
       body: Array[Byte])
 
+  /** Decompress a gzipped shard; on a TRUNCATED/corrupt tail (a crawl upload cut
+    * mid-member — common at fleet scale), salvage every byte decompressed so far
+    * and let the record parser skip the torn tail record, instead of failing the
+    * task and with it the shard's thousands of good records.
+    */
   private def gunzipIfNeeded(path: String, bytes: Array[Byte]): Array[Byte] =
     if (!path.endsWith(".gz") &&
       !(bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte)) bytes
     else {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(bytes), 64 * 1024)
       val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
-      val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      try {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } catch { case _: java.io.IOException => /* keep the salvaged prefix */ }
       out.toByteArray
     }
 

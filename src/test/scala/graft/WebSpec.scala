@@ -363,6 +363,23 @@ class WebSpec extends SparkTestBase {
       Set("http://a.example/x", "http://b.example/y"))
     val ts = pages.map(_.getTimestamp(1).toInstant.toString).toSet
     assert(ts == Set("2024-01-01T00:00:00Z", "2024-01-04T12:30:00Z"))
+
+    // truncated gzip shard (upload cut mid-member): the decompressed prefix is
+    // salvaged, so intact leading records still parse — one torn record lost,
+    // not the shard
+    val dir2 = java.nio.file.Files.createTempDirectory("warc_trunc")
+    def member(bytes: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(b)
+      g.write(bytes); g.close(); b.toByteArray
+    }
+    // CC layout: one gzip member per record; tear the SECOND member mid-stream
+    val m2 = member(good2)
+    val torn = member(good1) ++ java.util.Arrays.copyOfRange(m2, 0, m2.length - 20)
+    java.nio.file.Files.write(dir2.resolve("torn.warc.gz"), torn)
+    val salvaged = WarcSource.records(spark, dir2.toString + "/*").collect()
+    assert(salvaged.length >= 1 && salvaged.head.url == "http://a.example/x",
+      salvaged.map(_.url).mkString(", "))
   }
 
   test("metrics listener captures per-task lineage and skew ratio") {
