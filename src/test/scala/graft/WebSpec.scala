@@ -382,6 +382,108 @@ class WebSpec extends SparkTestBase {
       salvaged.map(_.url).mkString(", "))
   }
 
+  private def warcRec(typ: String, url: String, date: String, payload: Array[Byte],
+      lengthOverride: Option[Long] = None): Array[Byte] = {
+    val header = s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Date: $date\r\n" +
+      (if (url.nonEmpty) s"WARC-Target-URI: $url\r\n" else "") +
+      s"Content-Length: ${lengthOverride.getOrElse(payload.length.toLong)}\r\n\r\n"
+    header.getBytes("ISO-8859-1") ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+  }
+  private def warcHttp(status: Int, body: String): Array[Byte] =
+    s"HTTP/1.1 $status X\r\nContent-Type: text/html\r\n\r\n$body".getBytes("UTF-8")
+
+  test("WARC streaming parse is O(record) memory: shard >> cap still ingests") {
+    import graft.web.WarcSource
+    // 60 small records + one whose payload alone exceeds the 64 KB record cap,
+    // then 60 more — total shard ~0.5 MB, parsed through a 64 KB bound. The
+    // rolling buffer structurally cannot exceed the cap, so a pass here proves
+    // memory is O(record), not O(shard).
+    val cap = 64 * 1024
+    val small = (0 until 120).map { i =>
+      warcRec("response", s"http://s.example/$i", "2024-02-01T00:00:00Z",
+        warcHttp(200, s"<html>page $i ${"x" * 500}</html>"))
+    }
+    val big = warcRec("response", "http://s.example/huge", "2024-02-01T00:00:00Z",
+      warcHttp(200, "<html>" + ("y" * (3 * cap)) + "</html>"))
+    val shard = (small.take(60) :+ big) ++ small.drop(60)
+    val bytes = shard.reduce(_ ++ _)
+    assert(bytes.length > 4 * cap) // the shard genuinely exceeds the memory bound
+
+    val dir = java.nio.file.Files.createTempDirectory("warc_bound")
+    java.nio.file.Files.write(dir.resolve("big.warc"), bytes)
+    // gzipped twin: the decompressed stream also never materializes
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    java.nio.file.Files.write(dir.resolve("big2.warc.gz"), bos.toByteArray)
+
+    val recs = WarcSource.records(spark, dir.toString + "/*", maxRecordBytes = cap).collect()
+    // per shard: all 120 small records parse; the oversized one is skipped
+    assert(recs.length == 240, s"got ${recs.length}")
+    assert(!recs.exists(_.url == "http://s.example/huge"))
+    assert(recs.count(_.url == "http://s.example/7") == 2)
+    assert(recs.filter(_.url == "http://s.example/7").forall(r =>
+      new String(r.body, "UTF-8") == s"<html>page 7 ${"x" * 500}</html>"))
+  }
+
+  test("WARC adversarial Content-Length near 2^31 cannot kill the task") {
+    import graft.web.WarcSource
+    val good = warcRec("response", "http://ok.example/a", "2024-03-01T00:00:00Z",
+      warcHttp(200, "<html>fine</html>"))
+    // a lying header claiming ~2 GB: Long bounds math must not wrap negative; the
+    // poison record is skipped (its declared length is trusted for framing)
+    val poison = warcRec("response", "http://bad.example/b", "2024-03-01T00:00:00Z",
+      "tiny".getBytes("UTF-8"), lengthOverride = Some(Int.MaxValue.toLong - 50))
+    val dir = java.nio.file.Files.createTempDirectory("warc_adv")
+    java.nio.file.Files.write(dir.resolve("adv.warc"), good ++ good ++ poison)
+    val recs = WarcSource.records(spark, dir.toString + "/*").collect()
+    assert(recs.length == 2 && recs.forall(_.url == "http://ok.example/a"))
+
+    // lying length UNDER the cap mid-shard: ensure() hits EOF, and the salvage
+    // rescan still recovers intact records buffered after the liar
+    val liar = warcRec("response", "http://liar.example/c", "2024-03-02T00:00:00Z",
+      "short".getBytes("UTF-8"), lengthOverride = Some(1 << 20))
+    java.nio.file.Files.write(dir.resolve("liar.warc"), liar ++ good)
+    val salvaged = WarcSource.records(spark, dir.toString + "/liar.warc").collect()
+    assert(salvaged.exists(_.url == "http://ok.example/a"), salvaged.mkString(", "))
+  }
+
+  test("WARC shard streams end-to-end into the point-in-time feature job") {
+    import graft.web.WarcSource
+    // the ingest→feature seam: timestamp types, binary html, status filtering
+    val docs = for {
+      (u, n) <- Seq("http://e2e.example/a" -> 4, "http://e2e.example/b" -> 3)
+      i <- 0 until n
+    } yield warcRec("response", u, f"2024-04-0${i + 1}%dT0$i%d:00:00Z",
+      warcHttp(200, s"<html><head>h</head><body>doc $u rev $i</body></html>"))
+    val noise = Seq(
+      warcRec("request", "http://e2e.example/a", "2024-04-01T00:00:00Z",
+        "GET /a HTTP/1.1\r\n\r\n".getBytes("UTF-8")),
+      warcRec("response", "http://e2e.example/gone", "2024-04-01T00:00:00Z",
+        warcHttp(500, "boom")))
+    val dir = java.nio.file.Files.createTempDirectory("warc_e2e")
+    java.nio.file.Files.write(dir.resolve("e2e.warc"),
+      (docs ++ noise).reduce(_ ++ _))
+
+    val pages = WarcSource.pages(WarcSource.records(spark, dir.toString + "/*"))
+      .withColumn("text", WebFeatures.htmlText(col("html")))
+      .withColumn("lang", lit("en"))
+    val feats = WebFeatures.pointInTime(pages)
+    val rows = feats.collect()
+    assert(rows.length == 7, s"got ${rows.length}")
+    // per-row invariant: extracted text survives the whole chain byte-identically
+    val txt = feats.where(col("url") === "http://e2e.example/a")
+      .orderBy("warc_ts").select("text").collect().map(_.getString(0))
+    assert(txt.toSeq == (0 until 4).map(i => s"doc http://e2e.example/a rev $i"))
+    // zero leakage: the cumulative count at the first snapshot of each url is 1
+    val firstCounts = feats.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("url").orderBy("warc_ts")))
+      .where(col("rn") === 1).select("inclusive_cum_count_over_url")
+      .collect().map(_.getLong(0))
+    assert(firstCounts.toSeq == Seq(1L, 1L))
+  }
+
   test("metrics listener captures per-task lineage and skew ratio") {
     val l = GraftMetricsListener.attach(spark)
     pages.groupBy("domain_id").count().count()
