@@ -632,6 +632,7 @@ object DataQueries {
       s"SELECT doc_id, ${Seq("latin_frac", "cyrillic_frac", "han_frac", "arabic_frac")
         .map(n => s"${r6sql(n)} AS $n").mkString(", ")}, " +
       "CASE WHEN letters = 0 THEN 'und' " +
+      "WHEN greatest(latin_frac, cyrillic_frac, han_frac, arabic_frac) = 0 THEN 'und' " +
       "WHEN latin_frac >= cyrillic_frac AND latin_frac >= han_frac AND latin_frac >= arabic_frac THEN 'latin' " +
       "WHEN cyrillic_frac >= han_frac AND cyrillic_frac >= arabic_frac THEN 'cyrillic' " +
       "WHEN han_frac >= arabic_frac THEN 'han' ELSE 'arabic' END AS dominant_script " +

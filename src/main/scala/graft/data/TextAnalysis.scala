@@ -155,11 +155,14 @@ object TextAnalysis {
 
   /** Majority script of the letter characters; ties break in [[scripts]] order
     * (latin > cyrillic > han > arabic); "und" when the text has no letters (or is
-    * null). The comparison chain is mirrored verbatim in the oracle SQL.
+    * null) OR when its letters all fall outside the profiled set (Greek, Hangul,
+    * Devanagari, … must not masquerade as latin in wrong-corpus screening). The
+    * comparison chain is mirrored verbatim in the oracle SQL.
     */
   def dominantScript(text: Column): Column = {
     val f = scriptFractions(text).toMap
     when(coalesce(regexp_count(text, lit("\\p{L}")), lit(0)) === 0, lit("und"))
+      .when(greatest(f("latin"), f("cyrillic"), f("han"), f("arabic")) === 0.0, lit("und"))
       .when(f("latin") >= f("cyrillic") && f("latin") >= f("han") &&
         f("latin") >= f("arabic"), lit("latin"))
       .when(f("cyrillic") >= f("han") && f("cyrillic") >= f("arabic"), lit("cyrillic"))

@@ -462,7 +462,9 @@ class DataOpsSpec extends SparkTestBase {
       (3L, "hello привет 你好 مرحبا"),        // mixed, latin ties broken first
       (4L, "你好世界 你好"),                   // majority han
       (5L, "12345 !!!"),                     // no letters → und, all fracs 0
-      (6L, null.asInstanceOf[String]))       // null text → und, all fracs 0
+      (6L, null.asInstanceOf[String]),       // null text → und, all fracs 0
+      (7L, "γειά σου κόσμε"))                // letters entirely OUTSIDE the profiled
+                                             // scripts must not masquerade as latin
       .toDF("doc_id", "text")
     val f = TextAnalysis.scriptFractions(col("text"))
     val got = rows.select(
@@ -475,6 +477,7 @@ class DataOpsSpec extends SparkTestBase {
     assert(got(4L)._2 == "han" && got(4L)._1._3 == 1.0)
     assert(got(5L) == (((0.0, 0.0, 0.0, 0.0), "und")))
     assert(got(6L) == (((0.0, 0.0, 0.0, 0.0), "und")))
+    assert(got(7L) == (((0.0, 0.0, 0.0, 0.0), "und"))) // Greek: all profiled fracs 0
     // mixed doc: 10 latin letters of 'hello'+'world'? no — hello=5, привет=6, 你好=2, مرحبا=5
     val (fr, dom) = got(3L)
     assert(fr._1 > 0 && fr._2 > 0 && fr._3 > 0 && fr._4 > 0 && math.abs(fr._1 + fr._2 + fr._3 + fr._4 - 1.0) < 1e-9)
