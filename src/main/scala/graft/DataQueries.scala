@@ -530,15 +530,16 @@ object DataQueries {
       "SELECT d.doc_id, (EXISTS (SELECT 1 FROM s WHERE length(s.snip) > 0 " +
       "AND contains(d.text, s.snip)))::INT AS contaminated FROM documents d ORDER BY doc_id"
 
-  /** Decontamination, token-8-gram path: the engine compares xxhash64 of the grams
-    * (only hashes are broadcast); the oracle compares the gram STRINGS — equal
+  /** Decontamination, token-8-gram path (the PRODUCTION compiled sorted-set probe —
+    * per-document cost log-ish in the benchmark size): the engine compares xxhash64
+    * of the grams (only hashes ship); the oracle compares the gram STRINGS — equal
     * outputs certify the gram extraction AND that hashing introduced no false
-    * positives on this corpus.
+    * positives on this corpus. Lazy/compiled parity is ScalaTest-pinned.
     */
   private val qDecontamNgram: (SparkSession, String) => DataFrame = (spark, dir) => {
     val d = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
     val bench = d.where(col("doc_id") % 50 === 7)
-    Decontaminate.flagNgramOverlap(d, "text", bench, "text", n = 8)
+    Decontaminate.flagNgramOverlapCompiled(d, "text", bench, "text", n = 8)
       .select(col("doc_id"), col("contaminated").cast("int").as("contaminated"))
       .orderBy("doc_id")
   }

@@ -1,0 +1,90 @@
+package graft
+
+import graft.data.Decontaminate
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Focused benchmark for the n-gram decontamination probe at REAL eval-suite sizes
+  * (10⁴ → 10⁶ benchmark grams): the lazy `arrays_overlap`-on-broadcast path scans
+  * the gram set per document (cost linear in the benchmark), while the compiled
+  * sorted-set path ([[Decontaminate.flagNgramOverlapCompiled]]) is
+  * O(doc grams · log set) — near-flat as the benchmark grows. The lazy path is
+  * skipped at 10⁶ grams (10¹¹ probe steps at this corpus size — the very failure
+  * mode the compiled path exists to remove).
+  *
+  * Corpus: deterministic word-bag docs (~40 tokens, 50k vocab); the benchmark is a
+  * doc-id-keyed slice, so a fixed fraction of the corpus is genuinely contaminated
+  * at every size (flag counts are printed to prove the work isn't skipped).
+  *
+  *   SPARK_GRAFT_DECONTAM_DOCS (default 100,000)
+  *   SPARK_GRAFT_CPUS (default 32)
+  *   SPARK_GRAFT_RUNS (default 2; best-of-N after one untimed warmup per path/size)
+  */
+object DecontamBench {
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_DECONTAM_DOCS", "100000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_decontam_bench_$nDocs"
+    if (!new java.io.File(s"$dir/_READY").exists()) {
+      spark.range(nDocs).select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1), lit(40)),
+            i => concat(lit("w"), pmod(xxhash64(col("id"), i), lit(50000))))).as("text"))
+        .write.mode("overwrite").parquet(s"$dir/docs")
+      new java.io.File(dir, "_READY").createNewFile()
+    }
+    val docs = spark.read.parquet(s"$dir/docs")
+
+    // ~33 8-grams per 40-token doc: modulus m yields ≈ nDocs/m · 33 distinct grams
+    def benchSlice(m: Long): DataFrame = docs.where(col("doc_id") % m === 0)
+
+    def time(f: => Long): (Double, Long) = {
+      f // untimed warmup: JIT + codegen + parquet footers
+      var best = Double.MaxValue; var flagged = 0L
+      (1 to runs).foreach { _ =>
+        val t0 = System.nanoTime()
+        flagged = f
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      (best, flagged)
+    }
+
+    val results = Seq(300L, 30L, 3L).map { m =>
+      val bench = benchSlice(m)
+      val gramCount = bench
+        .select(explode(Decontaminate.tokenNgramHashes(col("text"), 8)).as("g"))
+        .distinct().count()
+      val (cSecs, cFlagged) = time {
+        Decontaminate.flagNgramOverlapCompiled(docs, "text", bench, "text", n = 8)
+          .where(col("contaminated")).count()
+      }
+      val lazyRes =
+        if (gramCount > 200000) None // per-row linear scan: 10¹¹ steps — the point
+        else Some(time {
+          Decontaminate.flagNgramOverlap(docs, "text", bench, "text", n = 8)
+            .where(col("contaminated")).count()
+        })
+      lazyRes.foreach { case (s, f) => require(f == cFlagged,
+        s"lazy/compiled disagree at m=$m: $f vs $cFlagged") }
+      System.err.println(f"[decontam] grams=$gramCount%d compiled=$cSecs%.2fs " +
+        f"lazy=${lazyRes.map(_._1).fold("skipped")(s => f"$s%.2fs")} flagged=$cFlagged")
+      (gramCount, cSecs, lazyRes.map(_._1), cFlagged)
+    }
+    val json = results.map { case (g, c, l, f) =>
+      s"""{"grams":$g,"compiled_secs":$c,"lazy_secs":${l.fold("null")(_.toString)},"flagged":$f}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"decontam_docs":$nDocs,"points":$json,""" +
+      s""""policy":"best-of-$runs after untimed warmup","cpus":$cpus}""")
+    spark.stop()
+  }
+}

@@ -24,15 +24,19 @@ import org.apache.spark.sql.functions._
   *    broadcast — independent of snippet text size — and the document side computes
   *    its gram hashes inline in the same projection. Robust to the snippet not
   *    being a verbatim substring (whitespace/punctuation differences collapse at
-  *    tokenization), at the price of token-boundary granularity.
+  *    tokenization), at the price of token-boundary granularity. Fully lazy, but
+  *    the `arrays_overlap` probe scans the gram set per row — for a real eval
+  *    suite use [[flagNgramOverlapCompiled]], whose sorted-set binary search is
+  *    O(doc grams · log set) per document.
   *
   * Both flags are null-safe: a null/empty benchmark flags nothing; a null document
   * text is flagged false (it cannot contain anything).
   *
-  * Scale note: both paths broadcast ONE aggregated row. If the benchmark gram set
-  * ever outgrew broadcast range (it should not — 10⁶ grams ≈ 8 MB of longs),
+  * Scale note: the lazy paths broadcast ONE aggregated row; the compiled paths
+  * ship one shared automaton / sorted long[] per executor. If the benchmark gram
+  * set ever outgrew broadcast range (it should not — 10⁶ grams ≈ 8 MB of longs),
   * the same semantics fall out of `explode(gram hashes)` + broadcast LEFT SEMI join
-  * + re-attach by doc id, trading one corpus-side explode for the per-row set scan.
+  * + re-attach by doc id, trading one corpus-side explode for the per-row probe.
   */
 object Decontaminate {
 
@@ -95,6 +99,25 @@ object Decontaminate {
         coalesce(arrays_overlap(tokenNgramHashes(col(textCol), n), col("__graft_grams")),
           lit(false)))
       .drop("__graft_grams")
+  }
+
+  /** N-gram path compiled to a sorted-hash probe: collects the DISTINCT benchmark
+    * gram hashes to the driver ONCE (same eager plan-assembly contract as
+    * [[flagContainsCompiled]] — hashes only, 8 bytes per gram, so 10⁶ grams ≈ 8 MB)
+    * and tests each document's grams by binary search against one shared sorted
+    * long[] per executor. Per-document cost is O(grams · log set) — log-ish in the
+    * benchmark size — where [[flagNgramOverlap]]'s `arrays_overlap` scans the
+    * broadcast gram array per row. Identical semantics; the production n-gram path
+    * for real eval suites (10⁵–10⁶ grams) against a 100-TB corpus.
+    */
+  def flagNgramOverlapCompiled(docs: DataFrame, textCol: String, bench: DataFrame,
+      benchTextCol: String, n: Int = 8, outCol: String = "contaminated"): DataFrame = {
+    val grams: Array[Long] = bench
+      .select(explode(tokenNgramHashes(col(benchTextCol), n)).as("__g"))
+      .distinct().collect().map(_.getLong(0))
+    docs.withColumn(outCol,
+      coalesce(graft.functions.hashfns.anyInSortedLongs(
+        tokenNgramHashes(col(textCol), n), grams), lit(false)))
   }
 
   /** Drop contaminated documents (substring path). */

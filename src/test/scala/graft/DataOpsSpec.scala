@@ -631,4 +631,20 @@ class DataOpsSpec extends SparkTestBase {
     val none = Decontaminate.flagContainsCompiled(d, "text", bench.where(lit(false)), "snippet")
     assert(none.where(col("contaminated")).count() == 0)
   }
+
+  test("compiled n-gram decontamination path agrees with the lazy path") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val bench = d.where(col("doc_id") % 25 === 3)
+    val lazyFlags = Decontaminate.flagNgramOverlap(d, "text", bench, "text", n = 8)
+      .select("doc_id", "contaminated").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val compiled = Decontaminate.flagNgramOverlapCompiled(d, "text", bench, "text", n = 8)
+      .select("doc_id", "contaminated").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(lazyFlags == compiled)
+    assert(compiled.values.exists(identity), "parity is vacuous if nothing matched")
+    assert(!compiled.values.forall(identity), "parity is vacuous if everything matched")
+    // empty benchmark: flags nothing, no error
+    val none = Decontaminate.flagNgramOverlapCompiled(
+      d, "text", bench.where(lit(false)), "text", n = 8)
+    assert(none.where(col("contaminated")).count() == 0)
+  }
 }

@@ -136,7 +136,11 @@ class TextSpec extends SparkTestBase {
         graft.functions.vecfns.cosineSim(
           org.apache.spark.sql.functions.array(col("id").cast("double"), lit(1.0)),
           org.apache.spark.sql.functions.array(col("id").cast("double"), lit(2.0))).as("cos"),
-        textfns.multiContains(s1, Seq("martha 7", "absent pattern")).as("mc"))
+        textfns.multiContains(s1, Seq("martha 7", "absent pattern")).as("mc"),
+        hashfns.anyInSortedLongs(
+          org.apache.spark.sql.functions.array(
+            org.apache.spark.sql.functions.xxhash64(s1), col("id")),
+          Array(3L, 7L, 11L)).as("sorted"))
       assert(df.count() == 64)
       // "*(1)" marks the WholeStageCodegen stage in the simple plan string
       assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"))
@@ -145,6 +149,7 @@ class TextSpec extends SparkTestBase {
       assert(r.getDouble(0) > 0.8 && r.getDouble(1) > 0.9)
       assert(r.getSeq[Long](7).size == 16)
       assert(df.where(col("mc")).count() == 1) // only id=7 contains "martha 7"
+      assert(df.where(col("sorted")).count() == 3) // ids 3, 7, 11 hit the sorted set
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
