@@ -67,15 +67,21 @@ object Dedup {
     * `(xxhash64(scope, line), line length)` key with map-side partials (count/min
     * combine, so a line repeated 10⁹ times — the boilerplate hot key — reduces
     * per-mapper before the shuffle); keep only keys that actually have duplicates
-    * and LEFT-join that (much smaller) decision set back, where AQE's skew-join
-    * splitting absorbs the hot keys a window over the same key could not; then one
-    * groupBy(id) rebuilds documents. Exempt lines bypass the key path entirely
-    * (they would otherwise form one giant null partition). Nothing quadratic, no
-    * driver collection. The 64-bit-hash+length key mirrors what published pipelines
-    * shuffle; a corpus with ~10⁹ distinct lines has a ~10⁻² chance of ONE colliding
-    * pair corpus-wide (birthday bound), which would drop one innocent line —
-    * acceptable for curation; swap the key for the line itself if exactness ever
-    * outranks shuffle width.
+    * and join that (much smaller) decision set back, where AQE's skew-join
+    * splitting absorbs the hot keys a window over the same key could not. The
+    * decision join emits ONLY the dropped `(id, pos)` occurrences — a tiny set by
+    * construction (repeated-line copies minus keepers) — which is aggregated per
+    * doc and joined back to the ORIGINAL frame; dropped positions are removed with
+    * one indexed-HOF filter, so the corpus is never re-exploded and never
+    * re-grouped (the round-4 formulation's `groupBy(id)` rebuild of all exploded
+    * lines moved the whole corpus through a second shuffle — measured 1.7× slower
+    * at 30M lines, see BENCH/BASELINE.md round 5). Exempt lines bypass the key
+    * path entirely (they would otherwise form one giant null partition). Nothing
+    * quadratic, no driver collection. The 64-bit-hash+length key mirrors what
+    * published pipelines shuffle; a corpus with ~10⁹ distinct lines has a ~10⁻²
+    * chance of ONE colliding pair corpus-wide (birthday bound), which would drop
+    * one innocent line — acceptable for curation; swap the key for the line
+    * itself if exactness ever outranks shuffle width.
     *
     * @return `(idCol, textCol)` with `textCol` rewritten; every input row is
     *         preserved (a document whose every line was removed keeps an empty
@@ -91,14 +97,14 @@ object Dedup {
       minLineChars: Int = 10, scope: Column = lit(0)): DataFrame = {
     require(minLineChars >= 0, s"minLineChars must be >= 0, got $minLineChars")
     val withId = docs.where(col(idCol).isNotNull)
-    val lines = withId
+    val eligible = withId
       .select(col(idCol), scope.as("__scope"),
         posexplode(split(col(textCol), "\r?\n")).as(Seq("__pos", "__line")))
-    val trimmed = trim(col("__line"))
-    val keyed = lines.withColumn("__h",
-      when(length(trimmed) >= minLineChars,
-        struct(xxhash64(col("__scope"), trimmed), length(trimmed))))
-    val eligible = keyed.where(col("__h").isNotNull)
+      .select(col(idCol), col("__pos"), col("__scope"), trim(col("__line")).as("__t"))
+      .where(length(col("__t")) >= minLineChars)
+      .select(col(idCol), col("__pos"),
+        struct(xxhash64(col("__scope"), col("__t")).as("__xh"),
+          length(col("__t")).as("__len")).as("__h"))
     // only keys with duplicates need a decision row: the join's build side shrinks
     // to the duplicated-line set, and the min-(id,pos) "first occurrence" is the
     // deterministic keeper ordering
@@ -106,21 +112,21 @@ object Dedup {
       .agg(count(lit(1)).as("__cnt"), min(struct(col(idCol), col("__pos"))).as("__first"))
       .where(col("__cnt") > 1)
       .select(col("__h"), col("__first"))
-    val decided = eligible.join(dupKeys, Seq("__h"), "left")
-      .where(col("__first").isNull || struct(col(idCol), col("__pos")) === col("__first"))
-      .drop("__first")
-      .unionByName(keyed.where(col("__h").isNull))
-    val rebuilt = decided.groupBy(col(idCol))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("__pos"), col("__line")))),
-        x => x.getField("__line")), "\n").as("__text"))
-    // left join back: rows with zero surviving lines (or null text → no exploded
-    // rows at all) must not vanish from the corpus frame
+    // the dropped set: non-keeper occurrences of duplicated lines — tiny by
+    // construction, and the ONLY thing that shuffles from here on
+    val dropped = eligible.join(dupKeys, Seq("__h"))
+      .where(struct(col(idCol), col("__pos")) =!= col("__first"))
+      .groupBy(col(idCol)).agg(collect_list(col("__pos")).as("__drop"))
+    // rewrite the ORIGINAL frame: drop flagged positions with one indexed-HOF
+    // filter; docs without drops (left join miss) just re-normalize line endings,
+    // matching the explode/rebuild formulation's CRLF→LF output byte-for-byte
     withId.select(col(idCol), col(textCol))
-      .join(rebuilt, Seq(idCol), "left")
+      .join(dropped, Seq(idCol), "left")
       .select(col(idCol),
-        when(col(textCol).isNull, lit(null))
-          .otherwise(coalesce(col("__text"), lit(""))).as(textCol))
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(array_join(filter(split(col(textCol), "\r?\n"),
+            (_, i) => !coalesce(array_contains(col("__drop"), i), lit(false))), "\n"))
+          .as(textCol))
       .unionByName(docs.where(col(idCol).isNull).select(col(idCol), col(textCol)))
   }
 

@@ -484,6 +484,26 @@ class DataOpsSpec extends SparkTestBase {
     assert(dom == "cyrillic") // привет (6) is the largest letter group
   }
 
+  test("line dedup plan never re-groups the exploded corpus") {
+    import spark.implicits._
+    val d = Seq((1L, "aaaa bbbb cccc\nshared boilerplate line"),
+      (2L, "shared boilerplate line\ndddd eeee ffff")).toDF("doc_id", "text")
+    val plan = Dedup.dedupLines(d, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    // the decision side aggregates only dropped positions; a collect_list over the
+    // exploded (pos, line) structs (sorted for reassembly) would mean the round-4
+    // full-corpus rebuild is back
+    assert(!plan.contains("collect_list(struct"), plan)
+    assert(!plan.contains("array_sort"), plan)
+    // the keying pass explodes (twice — the same subtree feeds both sides of the
+    // duplicate-decision join, as in round 4); the REBUILD side must not: the
+    // final left join's stream side is the original un-exploded frame
+    val generates = "Generate posexplode".r.findAllIn(plan).size
+    assert(generates == 2, s"expected 2 Generates (keying only), got $generates:\n$plan")
+    val rebuildSide = plan.linesIterator.takeWhile(!_.contains("Join Inner")).mkString("\n")
+    assert(!rebuildSide.contains("Generate"), rebuildSide)
+  }
+
   test("line dedup matches a sequential reference on random corpora (property)") {
     import spark.implicits._
     // deterministic pseudo-random corpora from a tiny line vocabulary, so
