@@ -52,12 +52,17 @@ object StreamingFeatures {
     *
     * Per micro-batch, each url's events are buffered and sorted in memory
     * (`toSeq.sortBy`) — bounded by one key's rows in one micro-batch, not by the
-    * stream; a hot url in a huge batch is the only spike (cap the trigger size if
-    * that bites).
+    * stream; a hot url in a huge batch is the only spike. With
+    * `perKeyOrdered = true` (the documented kafka-partitioned-by-url setup, where
+    * each key's rows arrive in event-time order) the group is instead STREAMED:
+    * one row in, one feature out, state threaded incrementally — no per-group
+    * materialization at all, so even a hot url in a huge trigger is O(1) memory.
+    * Laziness is test-pinned (consuming k outputs consumes exactly k inputs).
     */
   def features(pages: Dataset[PageEvent], sessionGapSeconds: Long,
       watermarkDelay: String = "30 days",
-      stateTtlSeconds: Long = 365L * 86400): Dataset[PageFeature] = {
+      stateTtlSeconds: Long = 365L * 86400,
+      perKeyOrdered: Boolean = false): Dataset[PageFeature] = {
     require(stateTtlSeconds > 0, s"stateTtlSeconds must be > 0, got $stateTtlSeconds")
     val spark = pages.sparkSession
     import spark.implicits._
@@ -70,36 +75,55 @@ object StreamingFeatures {
           state.remove()
           Iterator.empty
         } else {
-          var s = state.getOption.getOrElse(UrlState(0L, Long.MinValue, -1L, 0L, 0.0))
-          val out = events.toSeq.sortBy(_.warc_ts.getTime).map { e =>
-            val ts = e.warc_ts.toInstant.getEpochSecond
-            val gap = if (s.snapshots == 0) None else Some(ts - s.lastTsSeconds)
-            val newSession = gap.forall(_ > sessionGapSeconds)
-            val textHash = graft.functions.HashKernels.hashString(e.text, 0L)
-            val f = PageFeature(
-              url = url,
-              warc_ts = e.warc_ts,
-              snapshot_idx = s.snapshots + 1,
-              secs_since_last_snapshot = gap,
-              session_id = if (newSession) s.sessionId + 1 else s.sessionId,
-              text_changed = s.snapshots == 0 || textHash != s.lastTextHash,
-              text_length_running_mean = (s.lengthSum + e.text.length) / (s.snapshots + 1))
-            s = UrlState(s.snapshots + 1, ts,
-              if (newSession) s.sessionId + 1 else s.sessionId, textHash,
-              s.lengthSum + e.text.length)
-            f
-          }
-          state.update(s)
-          // expire once the watermark passes lastTs + ttl; clamped above the current
+          val s0 = state.getOption.getOrElse(UrlState(0L, Long.MinValue, -1L, 0L, 0.0))
+          val ordered =
+            if (perKeyOrdered) events // already per-key ordered: stream, don't buffer
+            else events.toSeq.sortBy(_.warc_ts.getTime).iterator
+          var s = s0
+          val out = foldFeatures(url, ordered, s0, sessionGapSeconds)
+            .map { case (f, st) => s = st; f }
+          // state commit rides iterator completion (Spark persists GroupState once
+          // the output iterator is exhausted), keeping the streamed path lazy.
+          // Expire once the watermark passes lastTs + ttl; clamped above the current
           // watermark because Spark rejects timeouts at-or-before it (a key whose
           // whole TTL is already behind the watermark times out on the next batch).
           // Batch execution has no watermark — timeouts never fire there anyway.
-          if (streaming)
-            state.setTimeoutTimestamp(math.max(
-              s.lastTsSeconds * 1000L + stateTtlSeconds * 1000L,
-              state.getCurrentWatermarkMs() + 1L))
-          out.iterator
+          out ++ {
+            state.update(s)
+            if (streaming)
+              state.setTimeoutTimestamp(math.max(
+                s.lastTsSeconds * 1000L + stateTtlSeconds * 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
         }
+    }
+  }
+
+  /** The per-url feature fold as a LAZY one-in-one-out iterator: element k of the
+    * output needs exactly the first k input events (pinned by a counting-iterator
+    * test), so the `perKeyOrdered` streaming path never materializes a group.
+    */
+  private[graft] def foldFeatures(url: String, events: Iterator[PageEvent],
+      s0: UrlState, sessionGapSeconds: Long): Iterator[(PageFeature, UrlState)] = {
+    var s = s0
+    events.map { e =>
+      val ts = e.warc_ts.toInstant.getEpochSecond
+      val gap = if (s.snapshots == 0) None else Some(ts - s.lastTsSeconds)
+      val newSession = gap.forall(_ > sessionGapSeconds)
+      val textHash = graft.functions.HashKernels.hashString(e.text, 0L)
+      val f = PageFeature(
+        url = url,
+        warc_ts = e.warc_ts,
+        snapshot_idx = s.snapshots + 1,
+        secs_since_last_snapshot = gap,
+        session_id = if (newSession) s.sessionId + 1 else s.sessionId,
+        text_changed = s.snapshots == 0 || textHash != s.lastTextHash,
+        text_length_running_mean = (s.lengthSum + e.text.length) / (s.snapshots + 1))
+      s = UrlState(s.snapshots + 1, ts,
+        if (newSession) s.sessionId + 1 else s.sessionId, textHash,
+        s.lengthSum + e.text.length)
+      (f, s)
     }
   }
 
@@ -127,11 +151,15 @@ object StreamingFeatures {
     * for that url backfills NULL — exactly the cold-start contract, and the honest
     * answer at corpus scale (holding every url's last snapshot forever is the
     * unbounded-state bug this TTL exists to kill). The per-batch per-key
-    * buffer/sort note on [[features]] applies here too.
+    * buffer/sort note on [[features]] applies here too, including the
+    * `perKeyOrdered = true` streaming path — there the page-before-event tie at
+    * equal timestamps becomes part of the caller's arrival-order contract (the
+    * upstream log must interleave a snapshot ahead of the events it backfills).
     */
   def backfill(timeline: Dataset[TimelineRow],
       watermarkDelay: String = "30 days",
-      stateTtlSeconds: Long = 365L * 86400): Dataset[BackfilledEvent] = {
+      stateTtlSeconds: Long = 365L * 86400,
+      perKeyOrdered: Boolean = false): Dataset[BackfilledEvent] = {
     require(stateTtlSeconds > 0, s"stateTtlSeconds must be > 0, got $stateTtlSeconds")
     val spark = timeline.sparkSession
     import spark.implicits._
@@ -146,22 +174,26 @@ object StreamingFeatures {
         } else {
           var s = state.getOption
           var lastMs = Long.MinValue
-          val out = rows.toSeq
-            .sortBy(r => (r.ts.getTime, if (r.isPage) 0 else 1))
-            .flatMap { r =>
-              lastMs = math.max(lastMs, r.ts.getTime)
-              if (r.isPage) { s = Some(SnapshotState(r.ts.getTime, r.text, r.lang)); None }
-              else Some(BackfilledEvent(url, r.ts, r.value,
-                s.map(st => new Timestamp(st.warcTsMillis)), s.map(_.text), s.map(_.lang)))
-            }
-          s.foreach(state.update)
-          // TTL anchored at the key's latest TIMELINE row (page or event): any
-          // activity keeps the snapshot alive for another TTL window
-          if (streaming && state.exists)
-            state.setTimeoutTimestamp(math.max(
-              lastMs + stateTtlSeconds * 1000L,
-              state.getCurrentWatermarkMs() + 1L))
-          out.iterator
+          val ordered =
+            if (perKeyOrdered) rows // arrival order IS the timeline: stream, don't buffer
+            else rows.toSeq.sortBy(r => (r.ts.getTime, if (r.isPage) 0 else 1)).iterator
+          val out = ordered.flatMap { r =>
+            lastMs = math.max(lastMs, r.ts.getTime)
+            if (r.isPage) { s = Some(SnapshotState(r.ts.getTime, r.text, r.lang)); None }
+            else Some(BackfilledEvent(url, r.ts, r.value,
+              s.map(st => new Timestamp(st.warcTsMillis)), s.map(_.text), s.map(_.lang)))
+          }
+          // state commit rides iterator completion (see [[features]])
+          out ++ {
+            s.foreach(state.update)
+            // TTL anchored at the key's latest TIMELINE row (page or event): any
+            // activity keeps the snapshot alive for another TTL window
+            if (streaming && state.exists)
+              state.setTimeoutTimestamp(math.max(
+                lastMs + stateTtlSeconds * 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
         }
     }
   }

@@ -57,6 +57,66 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("perKeyOrdered streaming path matches the batch job without buffering") {
+    import spark.implicits._
+    val pages = Pages.generate(spark, numUrls = 120, seed = 11L, numPartitions = 2)
+      .select(col("url"), col("warc_ts"), col("text"), col("lang"))
+      .as[PageEvent]
+    val batch = WebFeatures.pointInTime(pages.toDF())
+      .select(col("url"), col("warc_ts"),
+        col("inclusive_cum_count_over_url").cast("long").as("snapshot_idx"),
+        col("secs_since_last_snapshot"), col("session_id"), col("text_changed"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)) -> r).toMap
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[PageEvent]
+    val query = StreamingFeatures.features(input.toDS(), sessionGapSeconds = 2 * 86400L,
+        stateTtlSeconds = 100L * 365 * 86400, perKeyOrdered = true)
+      .writeStream.format("memory").queryName("stream_features_ordered")
+      .outputMode("append").start()
+    try {
+      // global event-time order implies per-key order — the perKeyOrdered contract
+      val rows = pages.collect().sortBy(e => (e.warc_ts.getTime, e.url))
+      rows.grouped(math.max(rows.length / 4, 1)).foreach { chunk =>
+        input.addData(chunk.toSeq); query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val streamed = spark.table("stream_features_ordered").collect()
+    assert(streamed.length == batch.size)
+    streamed.foreach { r =>
+      val key = (r.getString(0), r.getTimestamp(1))
+      val b = batch(key)
+      assert(r.getLong(2) == b.getLong(2), s"snapshot_idx mismatch at $key")
+      assert(r.getLong(4) == b.getLong(4), s"session_id mismatch at $key")
+      assert(r.getBoolean(5) == b.getBoolean(5), s"text_changed mismatch at $key")
+    }
+  }
+
+  test("the feature fold is lazy: k outputs consume exactly k inputs") {
+    import graft.streaming.StreamingFeatures.UrlState
+    // the perKeyOrdered path hands the group iterator straight to this fold — if it
+    // buffered (toSeq/sort), this counter would jump to n on the first element
+    var consumed = 0
+    val n = 1000
+    val events = Iterator.tabulate(n) { i =>
+      consumed += 1
+      PageEvent("http://hot.example/", new java.sql.Timestamp(1700000000000L + i * 1000L),
+        s"text $i", "en")
+    }
+    val out = StreamingFeatures.foldFeatures("http://hot.example/", events,
+      UrlState(0L, Long.MinValue, -1L, 0L, 0.0), sessionGapSeconds = 3600L)
+    assert(consumed == 0) // nothing consumed before the first pull
+    val first = out.next()._1
+    assert(consumed == 1 && first.snapshot_idx == 1L)
+    (2 to 10).foreach(k => assert(out.next()._1.snapshot_idx == k.toLong))
+    assert(consumed == 10, s"10 outputs must consume exactly 10 inputs, got $consumed")
+    // drain with foreach (Iterator.size would shortcut via knownSize, pulling nothing)
+    var drained = 0
+    out.foreach(_ => drained += 1)
+    assert(drained == n - 10 && consumed == n) // state threads to the end
+  }
+
   test("session_window stats match batch sessionStats on closed sessions") {
     import spark.implicits._
     import java.sql.Timestamp
