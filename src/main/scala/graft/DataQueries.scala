@@ -602,6 +602,86 @@ object DataQueries {
       "ORDER BY quality DESC, doc_id ASC) AS rn FROM s) " +
       "SELECT doc_id, quality FROM r WHERE rn = 1 ORDER BY doc_id"
 
+  /** The full curation loop composed END-TO-END — MinHash+LSH near-dup pairs →
+    * connected-component clusters → quality-aware keeper → corpus-wide line dedup —
+    * so the interface contracts between stages (null policies, column names, id
+    * types) are oracle-pinned as one unit, not just piecewise. The oracle
+    * RECOMPUTES every stage in SQL: exact 5-gram jaccard pairs at the same
+    * threshold (the LSH+verify output equals the exact pair set here, as
+    * q_minhash_pairs certifies), transitive closure via a recursive CTE for the
+    * clusters (the corpus has NATURAL near-dup pairs beyond the planted ones at
+    * some SFs, so a structural shortcut would be wrong), max-quality/min-id
+    * keeper, then the line-dedup window formulation over the kept corpus.
+    */
+  private val qCurationChain: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).where(col("doc_id") < 100)
+    val d0 = base
+      .unionByName(base.where(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionByName(base.where(col("doc_id") >= 50)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" xyzzy")).as("text")))
+    val lined = d0.select(col("doc_id"), concat(
+      when(col("doc_id") % 3 === 0, lit("SHARED BOILERPLATE LINE ALPHA\n")).otherwise(lit("")),
+      regexp_replace(col("text"), "(\\S+ \\S+ \\S+ \\S+) ", "$1\n"),
+      when(col("doc_id") % 4 === 0, lit("\nSHARED FOOTER LINE BETA")).otherwise(lit("")))
+      .as("text"))
+    val pairs = Dedup.minhashLsh(lined, "doc_id", "text",
+      shingleSize = 5, numHashes = 64, bands = 32, threshold = 0.5)
+    val clusters = Dedup.dupClusters(pairs)
+    val scored = lined
+      .join(clusters, lined("doc_id") === clusters("id"), "left")
+      .select(lined("doc_id"),
+        coalesce(col("cluster_id"), lined("doc_id")).as("cluster_id"),
+        (lined("doc_id") % 97).cast("double").as("quality"), col("text"))
+    val kept = Dedup.keepBest(scored, "cluster_id", "doc_id", "quality")
+    val cleaned = Dedup.dedupLines(
+      kept.select(col("doc_id"), col("text")), "doc_id", "text", minLineChars = 10)
+    kept.select(col("doc_id"), col("cluster_id"), col("quality"))
+      .join(cleaned, Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("quality"), col("text"))
+      .orderBy("doc_id")
+  }
+  private val qCurationChainSql =
+    "WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100 " +
+      "UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50 " +
+      "UNION ALL SELECT doc_id + 200000, text || ' xyzzy' FROM documents WHERE doc_id >= 50 AND doc_id < 100), " +
+      "t0 AS (SELECT doc_id, " +
+      "(CASE WHEN doc_id % 3 = 0 THEN 'SHARED BOILERPLATE LINE ALPHA' || chr(10) ELSE '' END) " +
+      "|| regexp_replace(text, '(\\S+ \\S+ \\S+ \\S+) ', '\\1' || chr(10), 'g') " +
+      "|| (CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'SHARED FOOTER LINE BETA' ELSE '' END) AS text " +
+      "FROM d), " +
+      // exact 5-gram jaccard pair set at the engine's threshold
+      "g AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(length(text) - 4, 0)), " +
+      "r -> substr(text, r, 5))) AS gram FROM t0), " +
+      "sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1), " +
+      "p0 AS (SELECT a.doc_id AS idA, b.doc_id AS idB, count(*) AS inter " +
+      "FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "j AS (SELECT idA, idB FROM (SELECT idA, idB, inter::DOUBLE / (sa.n + sb.n - inter)::DOUBLE AS jac " +
+      "FROM p0 JOIN sz sa ON sa.doc_id = idA JOIN sz sb ON sb.doc_id = idB) WHERE jac >= 0.5), " +
+      // connected components: transitive closure, cluster id = min reachable id
+      "edges AS (SELECT idA AS a, idB AS b FROM j UNION SELECT idB, idA FROM j), " +
+      "reach(a, b) AS (SELECT a, b FROM edges " +
+      "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), " +
+      "cid AS (SELECT t0.doc_id, least(t0.doc_id, coalesce(min(r.b), t0.doc_id)) AS cluster_id, " +
+      "(t0.doc_id % 97)::DOUBLE AS quality, t0.text FROM t0 " +
+      "LEFT JOIN reach r ON r.a = t0.doc_id GROUP BY t0.doc_id, t0.text), " +
+      // quality-aware keeper per cluster (max quality, ties -> min id)
+      "k AS (SELECT *, row_number() OVER (PARTITION BY cluster_id " +
+      "ORDER BY quality DESC, doc_id ASC) AS rn FROM cid), " +
+      "kept AS (SELECT doc_id, cluster_id, quality, text FROM k WHERE rn = 1), " +
+      // corpus-wide line dedup over the KEPT corpus
+      "sp AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM kept), " +
+      "e AS (SELECT doc_id, unnest(l) AS line, unnest(generate_series(1, len(l))) AS pos FROM sp), " +
+      "kk AS (SELECT doc_id, pos, line, trim(line) AS tl, length(trim(line)) >= 10 AS elig FROM e), " +
+      "dd AS (SELECT *, CASE WHEN elig THEN count(*) OVER (PARTITION BY tl) ELSE 1 END AS cnt, " +
+      "CASE WHEN elig THEN row_number() OVER (PARTITION BY tl ORDER BY doc_id, pos) ELSE 1 END AS rnl FROM kk), " +
+      "r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text FROM dd " +
+      "WHERE cnt = 1 OR rnl = 1 GROUP BY doc_id) " +
+      "SELECT kept.doc_id, kept.cluster_id, kept.quality, coalesce(r.text, '') AS text " +
+      "FROM kept LEFT JOIN r USING (doc_id) ORDER BY doc_id"
+
   /** Script-composition profile over documents with planted non-Latin content:
     * every 25th doc is replaced by Cyrillic text (majority flip), others get a
     * minority-script suffix keyed on doc_id % 4.
@@ -666,6 +746,7 @@ object DataQueries {
     "q_decontam_ngram" -> qDecontamNgram,
     "q_line_dedup" -> qLineDedup,
     "q_keep_best" -> qKeepBest,
+    "q_curation_chain" -> qCurationChain,
     "q_script_profile" -> qScriptProfile)
 
   val oracles: Map[String, String] = Map(
@@ -693,5 +774,6 @@ object DataQueries {
     "q_decontam_ngram" -> qDecontamNgramSql,
     "q_line_dedup" -> qLineDedupSql,
     "q_keep_best" -> qKeepBestSql,
+    "q_curation_chain" -> qCurationChainSql,
     "q_script_profile" -> qScriptProfileSql)
 }
