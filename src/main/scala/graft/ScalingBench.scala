@@ -32,6 +32,10 @@ object ScalingBench {
       .config("spark.ui.enabled", "false")
       // all workers are this host: never trade a core for locality
       .config("spark.locality.wait", "0ms")
+      // shuffle codec A/B knob (see BENCH/BASELINE.md round 5): the headline's
+      // exchange carries wide text rows between executor JVMs; codec choice trades
+      // shuffle bytes (loopback + spill-disk bandwidth at 4N) against codec CPU
+      .config("spark.io.compression.codec", sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4"))
     val withMaster = mode match {
       case "local-cluster" =>
         b.master(s"local-cluster[$units,$execCores,$execMemMb]")
