@@ -1,7 +1,7 @@
 package graft
 
 import graft.web.{Pages, WebFeatures}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver benchmark contract: one JSON line with per-query seconds, plus the headline
   * north-rule metric — feature rows/sec for as-of join + window feature synthesis over
@@ -65,7 +65,10 @@ object Bench {
     val headlineUrls = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_URLS", "200000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", (cpus.toInt * 4).toString))
+      // cpus*8, not cpus*4: with the two headline jobs running concurrently, coarse
+      // waves (128 tasks / 32 cores = 4) idle the box at every stage tail; measured
+      // A/B (BENCH/BASELINE.md round 5): 256-512 partitions ~2x the 128 headline
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", (cpus.toInt * 8).toString))
       .config("spark.sql.adaptive.enabled", "true")
       // let AQE coalesce partitions INSIDE cached plans too — iterative ops (dup
       // clusters) cache per-round frames, and pinning them at full shuffle width
@@ -88,7 +91,11 @@ object Bench {
         .groupBy(org.apache.spark.sql.functions.col("l_returnflag")).count().count()
     } catch { case _: Throwable => () }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // exploration knob: skip the 61 gate queries and measure only the headline
+    val headlineOnly = sys.env.get("SPARK_GRAFT_HEADLINE_ONLY").contains("1")
+    val queryFns = if (headlineOnly) Map.empty[String, (SparkSession, String) => DataFrame]
+      else SparkEntry.queries
+    val results = queryFns.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val secs = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch {
@@ -115,7 +122,8 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir",""" +
       s""""headline_rows":$hRows,"headline_rows_per_sec":${hRate.toLong},""" +
       s""""headline_policy":"best-of-$headlineRuns after untimed warmup",""" +
-      s""""headline_urls":$headlineUrls,"cpus":$cpus}""")
+      s""""headline_urls":$headlineUrls,"cpus":$cpus,""" +
+      s""""partitions":${spark.conf.get("spark.sql.shuffle.partitions")}}""")
     spark.stop()
   }
 }

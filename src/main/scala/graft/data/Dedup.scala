@@ -253,11 +253,15 @@ object Dedup {
   def dupClusters(pairs: DataFrame, idACol: String = "idA", idBCol: String = "idB",
       maxIters: Int = 20, collectThreshold: Long = 1000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // the symmetrized edge union below references `pairs` TWICE — without a persist
+    // the whole upstream pair computation (e.g. a MinHash LSH + exact-verify chain)
+    // would run twice inside the one edges job; materialize it once instead
+    val src0 = pairs.select(col(idACol), col(idBCol)).persist(StorageLevel.MEMORY_AND_DISK)
     // a null id cannot identify a document: drop such edges up front so BOTH paths
     // agree (joins on null never match in the distributed rounds, and the local
     // union-find would otherwise unbox null to 0L and corrupt real id 0's cluster)
-    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
-      .unionByName(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+    val edges = src0.select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .unionByName(src0.select(col(idBCol).as("src"), col(idACol).as("dst")))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -265,7 +269,9 @@ object Dedup {
     val integral = idType == org.apache.spark.sql.types.LongType ||
       idType == org.apache.spark.sql.types.IntegerType
     // the count doubles as the persist materialization the first round needs anyway
-    if (integral && edges.count() <= collectThreshold) {
+    val edgeCount = edges.count()
+    src0.unpersist() // edges are materialized; the input lineage is no longer needed
+    if (integral && edgeCount <= collectThreshold) {
       val result = localUnionFind(edges)
       edges.unpersist()
       return result

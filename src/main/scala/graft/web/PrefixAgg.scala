@@ -221,6 +221,9 @@ object PrefixAgg {
       a.as(s"__t_${s.out}")
     }
     val totals = local.groupBy(col(rid)).agg(totalAggs.head, totalAggs.tail: _*)
+    // UNPARTITIONED window — deliberately: this frame has exactly numRanges rows
+    // (64–1024), not corpus rows, so the single-partition WindowExec Spark WARNs
+    // about is a micro-step; the corpus-sized data never passes through it
     val wPrev = Window.orderBy(col(rid)).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals.select(
       col(rid) +: specs.map { s =>
