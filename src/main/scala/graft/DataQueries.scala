@@ -1,6 +1,6 @@
 package graft
 
-import graft.data.{Ann, Decontaminate, Dedup, TextAnalysis}
+import graft.data.{Ann, Decontaminate, Dedup, LmQuality, TextAnalysis}
 import graft.functions.hashfns
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -602,6 +602,34 @@ object DataQueries {
       "ORDER BY quality DESC, doc_id ASC) AS rn FROM s) " +
       "SELECT doc_id, quality FROM r WHERE rn = 1 ORDER BY doc_id"
 
+  /** CCNet-style LM quality screen: every document scored by its mean code-point-
+    * trigram log-probability under an add-alpha-smoothed model trained on the SAME
+    * corpus (vocab truncated to 2048 so the unseen-trigram mass is genuinely
+    * exercised). The oracle retrains the model in SQL — same normalization, same
+    * deterministic (count desc, gram asc) vocabulary cut, same smoothing — and
+    * rescores every document; `(coalesce(c, 0) + α) / denom` collapses the
+    * seen/unseen branches into one formula.
+    */
+  private val qLmQuality: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val d = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+    val model = LmQuality.trainTrigramLm(d, "text", vocab = 2048, alpha = 0.4)
+    LmQuality.scoreTrigramLm(d, "text", model, "lm_logprob")
+      .select(col("doc_id"), r6(col("lm_logprob")).as("lm_logprob"))
+      .orderBy("doc_id")
+  }
+  private val qLmQualitySql =
+    "WITH t0 AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM documents), " +
+      "g AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(length(t) - 2, 0)), " +
+      "i -> substr(t, i, 3))) AS gr FROM t0 WHERE length(t) >= 3), " +
+      "c AS (SELECT gr, count(*) AS c FROM g GROUP BY 1), " +
+      "tot AS (SELECT sum(c)::DOUBLE AS n FROM c), " +
+      "top AS (SELECT gr, c FROM c ORDER BY c DESC, gr ASC LIMIT 2048), " +
+      "p AS (SELECT tot.n + 0.4 * ((SELECT count(*) FROM top) + 1) AS denom FROM tot), " +
+      "s AS (SELECT g.doc_id, avg(ln((coalesce(top.c, 0) + 0.4) / p.denom)) AS lm " +
+      "FROM g LEFT JOIN top ON g.gr = top.gr, p GROUP BY g.doc_id) " +
+      s"SELECT t0.doc_id, ${r6sql("s.lm")} AS lm_logprob " +
+      "FROM t0 LEFT JOIN s USING (doc_id) ORDER BY doc_id"
+
   /** The full curation loop composed END-TO-END — MinHash+LSH near-dup pairs →
     * connected-component clusters → quality-aware keeper → corpus-wide line dedup —
     * so the interface contracts between stages (null policies, column names, id
@@ -747,6 +775,7 @@ object DataQueries {
     "q_line_dedup" -> qLineDedup,
     "q_keep_best" -> qKeepBest,
     "q_curation_chain" -> qCurationChain,
+    "q_lm_quality" -> qLmQuality,
     "q_script_profile" -> qScriptProfile)
 
   val oracles: Map[String, String] = Map(
@@ -775,5 +804,6 @@ object DataQueries {
     "q_line_dedup" -> qLineDedupSql,
     "q_keep_best" -> qKeepBestSql,
     "q_curation_chain" -> qCurationChainSql,
+    "q_lm_quality" -> qLmQualitySql,
     "q_script_profile" -> qScriptProfileSql)
 }

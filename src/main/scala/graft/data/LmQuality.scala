@@ -1,0 +1,88 @@
+package graft.data
+
+import graft.functions.{textfns, TrigramLmModel}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Language-model quality scoring for corpus curation — the CCNet-style screen
+  * (Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets from Web
+  * Crawl Data", LREC 2020 — a public paper): score each document by its
+  * log-likelihood under a smoothed character-trigram model trained on the corpus
+  * (or a trusted reference slice of it); low scores flag gibberish, boilerplate
+  * soup, encoding damage, and wrong-language residue that rule-based signals miss.
+  *
+  * Two phases, both Spark-first:
+  *
+  *  - [[trainTrigramLm]] — ONE aggregation job over the training frame: documents
+  *    are normalized (lowercase, whitespace runs collapsed — plain Spark SQL
+  *    functions so the DuckDB oracle can mirror them verbatim), exploded to
+  *    code-point trigrams, counted with map-side partial aggregation, and the top
+  *    `vocab` trigrams (count desc, gram asc — a DETERMINISTIC tie-break) are
+  *    collected to the driver (8+8 bytes per entry; 2^16 vocab ≈ 1 MB — the same
+  *    documented plan-time-collect contract as `Ann.assign` centroids and the
+  *    Aho–Corasick snippet compile). Probabilities are add-alpha smoothed over
+  *    the kept vocabulary: p(t) = (c_t + α) / (N + α·(K + 1)) with one shared
+  *    unseen mass α / (N + α·(K + 1)), where N counts ALL training trigrams and
+  *    K the kept ones. At 100-TB scale train on a deterministic hash-sample
+  *    (`docs.where(pmod(xxhash64(id), 1000) === 0)`) — the model converges long
+  *    before the corpus does — and score everything.
+  *
+  *  - [[scoreTrigramLm]] — pure projection: the model ships once per executor as
+  *    a codegen reference object (sorted packed-long keys + parallel log-prob
+  *    array, the `MultiContains` mechanism) and each document is scored in a
+  *    single code-point pass, O(log K) per trigram. No shuffle, no explode, no
+  *    join: curation's scan-speed path. Documents with < 3 code points (or null
+  *    text) score null.
+  *
+  * Trigrams are CODE-POINT trigrams of the normalized text — the same unit as
+  * Spark's `substring` and DuckDB's `substr`, so the oracle reproduces the
+  * training set and the scores exactly (gate q_lm_quality).
+  */
+object LmQuality {
+
+  /** The shared normalization: lowercase, collapse whitespace runs to one space.
+    * Mirrored in the oracle as `regexp_replace(lower(text), '\s+', ' ', 'g')`.
+    */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(text), "\\s+", " ")
+
+  /** All code-point trigrams of the normalized text (empty array when < 3). */
+  private def trigrams(norm: Column): Column =
+    when(length(norm) >= 3,
+      transform(sequence(lit(1), length(norm) - 2), i => substring(norm, i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Train a smoothed trigram model — one aggregation job + one bounded driver
+    * collect (count desc, gram asc, `vocab` rows).
+    */
+  def trainTrigramLm(docs: DataFrame, textCol: String,
+      vocab: Int = 65536, alpha: Double = 0.4): TrigramLmModel = {
+    require(vocab > 0, s"vocab must be > 0, got $vocab")
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    // persisted across the two plan-time jobs (top-k cut + total-N): the exploded
+    // corpus is counted ONCE, not re-scanned per job
+    val counts = docs
+      .select(explode(trigrams(normalize(col(textCol)))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = counts.orderBy(col("c").desc, col("g").asc).limit(vocab).collect()
+    // N = ALL training trigrams (kept or not): the unseen mass must be measured
+    // against the true total, not the truncated vocabulary's
+    val n = Option(counts.agg(sum(col("c"))).head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    counts.unpersist(blocking = false)
+    val k = top.length
+    val denom = n + alpha * (k + 1)
+    val entries = top.map { r =>
+      (TrigramLmModel.packGram(r.getString(0)), math.log((r.getLong(1) + alpha) / denom))
+    }.filter(_._1 >= 0).sortBy(_._1)
+    new TrigramLmModel(entries.map(_._1), entries.map(_._2), math.log(alpha / denom))
+  }
+
+  /** Attach `outCol`: mean trigram log-probability of the normalized text under
+    * `model` (null when the text has < 3 code points). A pure codegen'd
+    * projection — runs at scan speed next to the other quality signals.
+    */
+  def scoreTrigramLm(docs: DataFrame, textCol: String, model: TrigramLmModel,
+      outCol: String = "lm_logprob"): DataFrame =
+    docs.withColumn(outCol, textfns.trigramLogProb(normalize(col(textCol)), model))
+}

@@ -417,6 +417,94 @@ case class MultiContains(child: Expression, patterns: Seq[String]) extends Unary
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** A trained character-trigram language model: packed code-point-trigram keys
+  * (3 × 21 bits in one long, sorted) with their smoothed log-probabilities, plus
+  * the shared unseen-trigram log-probability. Ships ONCE per executor as a codegen
+  * reference object (the `MultiContains`/`SortedLongSet` mechanism); lookup is a
+  * binary search, scoring one document is a single code-point pass.
+  */
+final class TrigramLmModel(
+    val keys: Array[Long], // sorted packed trigrams
+    val logProbs: Array[Double], // parallel to keys
+    val unseenLogProb: Double) extends Serializable {
+  require(keys.length == logProbs.length)
+
+  /** Mean log-probability of the text's code-point trigrams; null (boxed) when the
+    * text has fewer than 3 code points. Code-point (not UTF-16-unit) trigrams match
+    * Spark's `substring` and DuckDB's `substr` semantics, so the oracle can mirror
+    * the extraction exactly.
+    */
+  def scoreOrNull(t: UTF8String): java.lang.Double = {
+    val s = t.toString
+    val n = s.length
+    if (n < 3) { // fast reject on UTF-16 length (cp count <= UTF-16 count)
+      if (s.codePointCount(0, n) < 3) return null
+    }
+    var c0 = 0; var c1 = 0; var c2 = 0
+    var i = 0; var seen = 0
+    var sum = 0.0; var count = 0L
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      c0 = c1; c1 = c2; c2 = cp
+      seen += 1
+      if (seen >= 3) {
+        val key = (c0.toLong << 42) | (c1.toLong << 21) | c2.toLong
+        val at = java.util.Arrays.binarySearch(keys, key)
+        sum += (if (at >= 0) logProbs(at) else unseenLogProb)
+        count += 1
+      }
+    }
+    if (count == 0) null else java.lang.Double.valueOf(sum / count)
+  }
+
+  /** Pack a 3-code-point string the same way scoring does (training-side helper). */
+  def packedSize: Int = keys.length
+}
+
+object TrigramLmModel {
+  /** Pack a trigram string's 3 code points into the model key; -1 if not exactly 3. */
+  def packGram(g: String): Long = {
+    if (g == null) return -1L
+    val n = g.codePointCount(0, g.length)
+    if (n != 3) return -1L
+    var i = 0
+    var key = 0L
+    var c = 0
+    while (i < g.length) {
+      val cp = g.codePointAt(i)
+      i += Character.charCount(cp)
+      key = (key << 21) | cp.toLong
+      c += 1
+    }
+    key
+  }
+}
+
+/** Double: mean log-probability of the text's code-point trigrams under `model`;
+  * null for null text or texts with < 3 code points (no trigram to score).
+  */
+case class TrigramLogProb(child: Expression, model: TrigramLmModel)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = model.scoreOrNull(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("graftTriLm", model, classOf[TrigramLmModel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Double graftLmScore = $ref.scoreOrNull($c);
+      if (graftLmScore == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = graftLmScore.doubleValue(); }
+    """)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object textfns {
   private def e(c: Column): Expression = ColumnBridge.expression(c)
   private def col(ex: Expression): Column = ColumnBridge.column(ex)
@@ -440,4 +528,7 @@ object textfns {
   /** True iff the text contains any of `patterns` (one compiled-automaton pass). */
   def multiContains(text: Column, patterns: Seq[String]): Column =
     col(MultiContains(e(text), patterns))
+  /** Mean trigram log-probability under a trained [[TrigramLmModel]]. */
+  def trigramLogProb(text: Column, model: TrigramLmModel): Column =
+    col(TrigramLogProb(e(text), model))
 }

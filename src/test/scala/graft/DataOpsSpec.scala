@@ -652,6 +652,48 @@ class DataOpsSpec extends SparkTestBase {
     assert(none.where(col("contaminated")).count() == 0)
   }
 
+  test("trigram LM quality matches a sequential reference implementation") {
+    import spark.implicits._
+    import graft.data.LmQuality
+    val corpus = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps again and again"),
+      (3L, "Pack   my box\nwith five dozen liquor jugs"), // ws runs collapse
+      (4L, "zzqxj vvkpw qqq"), // gibberish: must score LOW
+      (5L, "ab"),              // < 3 code points -> null
+      (6L, null.asInstanceOf[String]))
+    val df = corpus.toDF("doc_id", "text")
+    val vocab = 16 // tiny: forces a real unseen mass
+    val alpha = 0.4
+    val model = LmQuality.trainTrigramLm(df, "text", vocab = vocab, alpha = alpha)
+
+    // sequential reference: same normalization, same counting, same cut, same formula
+    def norm(s: String) = s.toLowerCase.replaceAll("\\s+", " ")
+    def grams(s: String) = (0 to s.length - 3).map(i => s.substring(i, i + 3))
+    val all = corpus.flatMap { case (_, t) => Option(t) }.map(norm).filter(_.length >= 3)
+      .flatMap(grams)
+    val counts = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val top = counts.toSeq.sortBy { case (g, c) => (-c, g) }.take(vocab).toMap
+    val denom = all.size + alpha * (top.size + 1)
+    def score(t: String): Option[Double] = {
+      val n = norm(t)
+      if (n.length < 3) None
+      else Some(grams(n).map(g => math.log((top.getOrElse(g, 0L) + alpha) / denom)).sum / (n.length - 2))
+    }
+    val got = LmQuality.scoreTrigramLm(df, "text", model).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    corpus.foreach { case (id, t) =>
+      val expect = Option(t).flatMap(score)
+      (got(id), expect) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-12, s"doc $id: $a vs $b")
+        case (a, b) => assert(a == b, s"doc $id: $a vs $b")
+      }
+    }
+    // the gibberish doc must rank below every natural-English doc
+    assert(got(4L).get < got(1L).get && got(4L).get < got(2L).get && got(4L).get < got(3L).get)
+    assert(got(5L).isEmpty && got(6L).isEmpty)
+  }
+
   test("compiled n-gram decontamination path agrees with the lazy path") {
     val d = docs.select(col("doc_id"), col("text"))
     val bench = d.where(col("doc_id") % 25 === 3)

@@ -140,7 +140,10 @@ class TextSpec extends SparkTestBase {
         hashfns.anyInSortedLongs(
           org.apache.spark.sql.functions.array(
             org.apache.spark.sql.functions.xxhash64(s1), col("id")),
-          Array(3L, 7L, 11L)).as("sorted"))
+          Array(3L, 7L, 11L)).as("sorted"),
+        textfns.trigramLogProb(s1, new graft.functions.TrigramLmModel(
+          Array(graft.functions.TrigramLmModel.packGram("mar")).sorted,
+          Array(-1.0), -5.0)).as("lm"))
       assert(df.count() == 64)
       // "*(1)" marks the WholeStageCodegen stage in the simple plan string
       assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"))
@@ -150,6 +153,7 @@ class TextSpec extends SparkTestBase {
       assert(r.getSeq[Long](7).size == 16)
       assert(df.where(col("mc")).count() == 1) // only id=7 contains "martha 7"
       assert(df.where(col("sorted")).count() == 3) // ids 3, 7, 11 hit the sorted set
+      assert(r.getDouble(12) < 0 && r.getDouble(12) > -5.0) // one seen gram lifts the mean
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
