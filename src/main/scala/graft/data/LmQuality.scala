@@ -46,14 +46,13 @@ object LmQuality {
   def normalize(text: Column): Column =
     regexp_replace(lower(text), "\\s+", " ")
 
-  /** All code-point trigrams of the normalized text (empty array when < 3). */
-  private def trigrams(norm: Column): Column =
-    when(length(norm) >= 3,
-      transform(sequence(lit(1), length(norm) - 2), i => substring(norm, i, lit(3))))
-      .otherwise(array().cast("array<string>"))
-
   /** Train a smoothed trigram model — one aggregation job + one bounded driver
-    * collect (count desc, gram asc, `vocab` rows).
+    * collect (count desc, gram asc, `vocab` rows). Trigrams are counted as PACKED
+    * LONGS ([[graft.functions.PackedTrigrams]]): one code-point pass per document
+    * instead of one 3-char string allocation per trigram, and the shuffle/agg keys
+    * are fixed-width. UTF-8 byte order equals packed order for 3-code-point grams,
+    * so the (count desc, gram asc) cut — and the oracle that mirrors it on gram
+    * STRINGS — is unchanged (measured 97 s → see BENCH/BASELINE.md at 1M docs).
     */
   def trainTrigramLm(docs: DataFrame, textCol: String,
       vocab: Int = 65536, alpha: Double = 0.4): TrigramLmModel = {
@@ -62,7 +61,7 @@ object LmQuality {
     // persisted across the two plan-time jobs (top-k cut + total-N): the exploded
     // corpus is counted ONCE, not re-scanned per job
     val counts = docs
-      .select(explode(trigrams(normalize(col(textCol)))).as("g"))
+      .select(explode(textfns.packedTrigrams(normalize(col(textCol)))).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val top = counts.orderBy(col("c").desc, col("g").asc).limit(vocab).collect()
@@ -73,8 +72,8 @@ object LmQuality {
     val k = top.length
     val denom = n + alpha * (k + 1)
     val entries = top.map { r =>
-      (TrigramLmModel.packGram(r.getString(0)), math.log((r.getLong(1) + alpha) / denom))
-    }.filter(_._1 >= 0).sortBy(_._1)
+      (r.getLong(0), math.log((r.getLong(1) + alpha) / denom))
+    }.sortBy(_._1)
     new TrigramLmModel(entries.map(_._1), entries.map(_._2), math.log(alpha / denom))
   }
 

@@ -481,6 +481,52 @@ object TrigramLmModel {
   }
 }
 
+/** Array[Long]: every code-point trigram of the text packed 3 × 21 bits into one
+  * long (the [[TrigramLmModel]] key format), in document order; empty for texts
+  * with < 3 code points. Exists so LM TRAINING can explode + count fixed-width
+  * longs instead of allocating one 3-char string per trigram — UTF-8 byte order
+  * equals packed-long order for 3-code-point grams, so the deterministic
+  * (count desc, gram asc) vocabulary cut is unchanged.
+  */
+case class PackedTrigrams(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType,
+      containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    PackedTrigrams.pack(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PackedTrigrams.pack($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object PackedTrigrams {
+  /** One code-point pass; the same rolling pack as [[TrigramLmModel.scoreOrNull]]. */
+  def pack(t: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = t.toString
+    val n = s.length
+    val cps = s.codePointCount(0, n)
+    val out = new Array[Long](math.max(cps - 2, 0))
+    if (out.length > 0) {
+      var c0 = 0L; var c1 = 0L; var c2 = 0L
+      var i = 0; var seen = 0
+      while (i < n) {
+        val cp = s.codePointAt(i)
+        i += Character.charCount(cp)
+        c0 = c1; c1 = c2; c2 = cp.toLong
+        seen += 1
+        if (seen >= 3) out(seen - 3) = (c0 << 42) | (c1 << 21) | c2
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Double: mean log-probability of the text's code-point trigrams under `model`;
   * null for null text or texts with < 3 code points (no trigram to score).
   */
@@ -531,4 +577,6 @@ object textfns {
   /** Mean trigram log-probability under a trained [[TrigramLmModel]]. */
   def trigramLogProb(text: Column, model: TrigramLmModel): Column =
     col(TrigramLogProb(e(text), model))
+  /** Packed-long code-point trigrams (LM training's count key). */
+  def packedTrigrams(text: Column): Column = col(PackedTrigrams(e(text)))
 }

@@ -143,7 +143,8 @@ class TextSpec extends SparkTestBase {
           Array(3L, 7L, 11L)).as("sorted"),
         textfns.trigramLogProb(s1, new graft.functions.TrigramLmModel(
           Array(graft.functions.TrigramLmModel.packGram("mar")).sorted,
-          Array(-1.0), -5.0)).as("lm"))
+          Array(-1.0), -5.0)).as("lm"),
+        textfns.packedTrigrams(s1).as("packed"))
       assert(df.count() == 64)
       // "*(1)" marks the WholeStageCodegen stage in the simple plan string
       assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"))
@@ -154,6 +155,9 @@ class TextSpec extends SparkTestBase {
       assert(df.where(col("mc")).count() == 1) // only id=7 contains "martha 7"
       assert(df.where(col("sorted")).count() == 3) // ids 3, 7, 11 hit the sorted set
       assert(r.getDouble(12) < 0 && r.getDouble(12) > -5.0) // one seen gram lifts the mean
+      // "martha 0" -> 6 trigrams; first is "mar" = the packed model key above
+      assert(r.getSeq[Long](13).size == 6 &&
+        r.getSeq[Long](13).head == graft.functions.TrigramLmModel.packGram("mar"))
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
