@@ -618,7 +618,9 @@ object DataQueries {
       .orderBy("doc_id")
   }
   private val qLmQualitySql =
-    "WITH t0 AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM documents), " +
+    // the explicit whitespace class mirrors LmQuality.normalize byte-for-byte
+    // (Java \s includes U+000B, RE2 \s does not — both parse this class the same)
+    "WITH t0 AS (SELECT doc_id, regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS t FROM documents), " +
       "g AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(length(t) - 2, 0)), " +
       "i -> substr(t, i, 3))) AS gr FROM t0 WHERE length(t) >= 3), " +
       "c AS (SELECT gr, count(*) AS c FROM g GROUP BY 1), " +

@@ -41,10 +41,16 @@ import org.apache.spark.sql.functions._
 object LmQuality {
 
   /** The shared normalization: lowercase, collapse whitespace runs to one space.
-    * Mirrored in the oracle as `regexp_replace(lower(text), '\s+', ' ', 'g')`.
+    * The whitespace class is EXPLICIT — `[ \t\n\x0B\f\r]` — not `\s`, because Java
+    * regex `\s` includes U+000B while DuckDB/RE2's does not; both engines parse
+    * the explicit class identically, so engine and oracle tokenize the same
+    * trigram stream on any corpus. Mirrored verbatim in the q_lm_quality oracle
+    * as `regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')`. (Residual
+    * documented caveat: `lower()` itself can differ between Spark and DuckDB on
+    * exotic non-ASCII case mappings.)
     */
   def normalize(text: Column): Column =
-    regexp_replace(lower(text), "\\s+", " ")
+    regexp_replace(lower(text), "[ \\t\\n\\x0B\\f\\r]+", " ")
 
   /** Train a smoothed trigram model — one aggregation job + one bounded driver
     * collect (count desc, gram asc, `vocab` rows). Trigrams are counted as PACKED

@@ -246,10 +246,13 @@ final class SortedLongSet(values0: Array[Long]) extends Serializable {
   * shared sorted long[], where the `arrays_overlap`-on-broadcast formulation
   * scans the gram set per row. Null input array → null (coalesced by callers).
   */
-case class AnyInSortedLongs(child: Expression, hashes: Array[Long])
+case class AnyInSortedLongs(child: Expression, hashes: Seq[Long])
     extends UnaryExpression {
+  // Seq, not Array: case-class equality on an Array is reference-based, which
+  // would defeat semanticEquals/subexpression-elimination between structurally
+  // identical probes (same fix shape as MultiContains' Seq[String])
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
-  @transient private lazy val set = new SortedLongSet(hashes)
+  @transient private lazy val set = new SortedLongSet(hashes.toArray)
 
   override def nullSafeEval(v: Any): Any =
     set.anyIn(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
@@ -276,5 +279,6 @@ object hashfns {
     * binary search, one shared copy per executor).
     */
   def anyInSortedLongs(arr: Column, hashes: Array[Long]): Column =
-    ColumnBridge.column(AnyInSortedLongs(ColumnBridge.expression(arr), hashes))
+    ColumnBridge.column(AnyInSortedLongs(ColumnBridge.expression(arr),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(hashes)))
 }

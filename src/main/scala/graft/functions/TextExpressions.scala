@@ -541,10 +541,14 @@ case class TrigramLogProb(child: Expression, model: TrigramLmModel)
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
     val ref = ctx.addReferenceObj("graftTriLm", model, classOf[TrigramLmModel].getName)
+    // freshName: two TrigramLogProb instances can land in ONE codegen function
+    // (e.g. scoring two text columns in a single projection) — a fixed local name
+    // would redeclare and fail janino compilation
+    val score = ctx.freshName("graftLmScore")
     nullSafeCodeGen(ctx, ev, c => s"""
-      java.lang.Double graftLmScore = $ref.scoreOrNull($c);
-      if (graftLmScore == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = graftLmScore.doubleValue(); }
+      java.lang.Double $score = $ref.scoreOrNull($c);
+      if ($score == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $score.doubleValue(); }
     """)
   }
 

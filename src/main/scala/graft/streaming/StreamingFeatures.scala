@@ -76,25 +76,38 @@ object StreamingFeatures {
           Iterator.empty
         } else {
           val s0 = state.getOption.getOrElse(UrlState(0L, Long.MinValue, -1L, 0L, 0.0))
-          val ordered =
-            if (perKeyOrdered) events // already per-key ordered: stream, don't buffer
-            else events.toSeq.sortBy(_.warc_ts.getTime).iterator
-          var s = s0
-          val out = foldFeatures(url, ordered, s0, sessionGapSeconds)
-            .map { case (f, st) => s = st; f }
-          // state commit rides iterator completion (Spark persists GroupState once
-          // the output iterator is exhausted), keeping the streamed path lazy.
           // Expire once the watermark passes lastTs + ttl; clamped above the current
           // watermark because Spark rejects timeouts at-or-before it (a key whose
           // whole TTL is already behind the watermark times out on the next batch).
           // Batch execution has no watermark — timeouts never fire there anyway.
-          out ++ {
+          def commit(s: UrlState): Unit = {
             state.update(s)
             if (streaming)
               state.setTimeoutTimestamp(math.max(
                 s.lastTsSeconds * 1000L + stateTtlSeconds * 1000L,
                 state.getCurrentWatermarkMs() + 1L))
-            Iterator.empty
+          }
+          if (perKeyOrdered) {
+            // streamed path: state commit rides output-iterator exhaustion (Spark
+            // persists GroupState once the iterator is drained). CONTRACT: the
+            // sink must consume every group fully — Spark's stateful exec does; an
+            // operator that abandons a group's iterator mid-stream (a take() in
+            // foreachBatch) would skip this group's state update and TTL arm.
+            var s = s0
+            val out = foldFeatures(url, events, s0, sessionGapSeconds)
+              .map { case (f, st) => s = st; f }
+            out ++ { commit(s); Iterator.empty }
+          } else {
+            // buffered path: the INPUT is already materialized for the sort, so
+            // materializing the (same-cardinality) output and committing EAGERLY
+            // costs the same order of memory and makes the state update
+            // unconditional — immune to a downstream that stops consuming
+            val ordered = events.toSeq.sortBy(_.warc_ts.getTime).iterator
+            var s = s0
+            val out = foldFeatures(url, ordered, s0, sessionGapSeconds)
+              .map { case (f, st) => s = st; f }.toVector
+            commit(s)
+            out.iterator
           }
         }
     }
@@ -174,25 +187,33 @@ object StreamingFeatures {
         } else {
           var s = state.getOption
           var lastMs = Long.MinValue
-          val ordered =
-            if (perKeyOrdered) rows // arrival order IS the timeline: stream, don't buffer
-            else rows.toSeq.sortBy(r => (r.ts.getTime, if (r.isPage) 0 else 1)).iterator
-          val out = ordered.flatMap { r =>
+          // TTL anchored at the key's latest TIMELINE row (page or event): any
+          // activity keeps the snapshot alive for another TTL window
+          def commit(): Unit = {
+            s.foreach(state.update)
+            if (streaming && state.exists)
+              state.setTimeoutTimestamp(math.max(
+                lastMs + stateTtlSeconds * 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+          }
+          def emit(r: TimelineRow): Option[BackfilledEvent] = {
             lastMs = math.max(lastMs, r.ts.getTime)
             if (r.isPage) { s = Some(SnapshotState(r.ts.getTime, r.text, r.lang)); None }
             else Some(BackfilledEvent(url, r.ts, r.value,
               s.map(st => new Timestamp(st.warcTsMillis)), s.map(_.text), s.map(_.lang)))
           }
-          // state commit rides iterator completion (see [[features]])
-          out ++ {
-            s.foreach(state.update)
-            // TTL anchored at the key's latest TIMELINE row (page or event): any
-            // activity keeps the snapshot alive for another TTL window
-            if (streaming && state.exists)
-              state.setTimeoutTimestamp(math.max(
-                lastMs + stateTtlSeconds * 1000L,
-                state.getCurrentWatermarkMs() + 1L))
-            Iterator.empty
+          if (perKeyOrdered) {
+            // arrival order IS the timeline: stream, don't buffer. Commit rides
+            // output-iterator exhaustion — same full-consumption contract as
+            // [[features]]' ordered path (documented there)
+            rows.flatMap(emit(_)) ++ { commit(); Iterator.empty }
+          } else {
+            // buffered path: input already materialized for the sort → eager
+            // commit, unconditional on downstream consumption (see [[features]])
+            val out = rows.toSeq.sortBy(r => (r.ts.getTime, if (r.isPage) 0 else 1))
+              .iterator.flatMap(emit(_)).toVector
+            commit()
+            out.iterator
           }
         }
     }

@@ -322,12 +322,14 @@ object WarcSource {
         bcConf.value.foreach { case (k, v) => conf.set(k, v) }
         val hp = new org.apache.hadoop.fs.Path(p)
         val raw = hp.getFileSystem(conf).open(hp)
-        val it = parseStream(p, maybeGunzip(p, raw), maxRecordBytes)
-        // a task cut mid-iteration (limit, failure) must not leak the stream
+        // register the close hook BEFORE parseStream: its iterator constructor
+        // eagerly reads the first record, and a non-IOException thrown there
+        // (header-handling bug, OOM) must not leak the open stream; a task cut
+        // mid-iteration (limit, failure) is covered by the same listener
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ =>
             try raw.close() catch { case _: java.io.IOException => () }))
-        it
+        parseStream(p, maybeGunzip(p, raw), maxRecordBytes)
       }
     spark.createDataset(rdd)
   }

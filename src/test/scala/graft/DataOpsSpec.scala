@@ -668,7 +668,7 @@ class DataOpsSpec extends SparkTestBase {
     val model = LmQuality.trainTrigramLm(df, "text", vocab = vocab, alpha = alpha)
 
     // sequential reference: same normalization, same counting, same cut, same formula
-    def norm(s: String) = s.toLowerCase.replaceAll("\\s+", " ")
+    def norm(s: String) = s.toLowerCase.replaceAll("[ \\t\\n\\x0B\\f\\r]+", " ")
     def grams(s: String) = (0 to s.length - 3).map(i => s.substring(i, i + 3))
     val all = corpus.flatMap { case (_, t) => Option(t) }.map(norm).filter(_.length >= 3)
       .flatMap(grams)
