@@ -666,10 +666,9 @@ object DataQueries {
         coalesce(col("cluster_id"), lined("doc_id")).as("cluster_id"),
         (lined("doc_id") % 97).cast("double").as("quality"), col("text"))
     val kept = Dedup.keepBest(scored, "cluster_id", "doc_id", "quality")
-    val cleaned = Dedup.dedupLines(
-      kept.select(col("doc_id"), col("text")), "doc_id", "text", minLineChars = 10)
-    kept.select(col("doc_id"), col("cluster_id"), col("quality"))
-      .join(cleaned, Seq("doc_id"))
+    // dedupLines rewrites text IN PLACE and threads cluster_id/quality through —
+    // no re-join of the kept metadata after line dedup (one fewer shuffle join)
+    Dedup.dedupLines(kept, "doc_id", "text", minLineChars = 10)
       .select(col("doc_id"), col("cluster_id"), col("quality"), col("text"))
       .orderBy("doc_id")
   }

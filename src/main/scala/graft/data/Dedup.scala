@@ -83,9 +83,11 @@ object Dedup {
     * one innocent line — acceptable for curation; swap the key for the line
     * itself if exactness ever outranks shuffle width.
     *
-    * @return `(idCol, textCol)` with `textCol` rewritten; every input row is
-    *         preserved (a document whose every line was removed keeps an empty
-    *         string; a null text stays null). Rows with a NULL id pass through
+    * @return the input frame with `textCol` rewritten IN PLACE — every other
+    *         column passes through untouched (so pipelines can thread cluster
+    *         ids/scores through without re-joining afterwards); every input row
+    *         is preserved (a document whose every line was removed keeps an
+    *         empty string; a null text stays null). Rows with a NULL id pass through
     *         UNTOUCHED: a null id cannot anchor the `(id, pos)` keeper identity
     *         (and two null-id docs would merge on reassembly), so — like
     *         [[dupClusters]]'s null-edge policy — they are exempt rather than
@@ -119,15 +121,16 @@ object Dedup {
       .groupBy(col(idCol)).agg(collect_list(col("__pos")).as("__drop"))
     // rewrite the ORIGINAL frame: drop flagged positions with one indexed-HOF
     // filter; docs without drops (left join miss) just re-normalize line endings,
-    // matching the explode/rebuild formulation's CRLF→LF output byte-for-byte
-    withId.select(col(idCol), col(textCol))
+    // matching the explode/rebuild formulation's CRLF→LF output byte-for-byte.
+    // All non-text columns pass through in place.
+    withId
       .join(dropped, Seq(idCol), "left")
-      .select(col(idCol),
+      .withColumn(textCol,
         when(col(textCol).isNull, lit(null).cast("string"))
           .otherwise(array_join(filter(split(col(textCol), "\r?\n"),
-            (_, i) => !coalesce(array_contains(col("__drop"), i), lit(false))), "\n"))
-          .as(textCol))
-      .unionByName(docs.where(col(idCol).isNull).select(col(idCol), col(textCol)))
+            (_, i) => !coalesce(array_contains(col("__drop"), i), lit(false))), "\n")))
+      .drop("__drop")
+      .unionByName(docs.where(col(idCol).isNull))
   }
 
   /** Distinct character shingles of length k, computed per-row with higher-order
