@@ -68,10 +68,40 @@ object ScalingBench {
     withMaster.getOrCreate()
   }
 
+  /** Host-side interference counters, read around each timed run so a slow run can
+    * be attributed: cgroup CPU throttling (would fire if a quota capped us) and
+    * /proc/stat "steal" ticks (hypervisor/host neighbors taking granted cycles).
+    * Best-effort: absent files read as 0 (the deltas then stay 0, never lie).
+    */
+  private def hostCounters(): (Long, Long) = {
+    def num(path: String, key: String): Long =
+      try {
+        val src = scala.io.Source.fromFile(path)
+        try src.getLines().collectFirst {
+          case l if l.startsWith(key) => l.split("\\s+")(1).toLong
+        }.getOrElse(0L)
+        finally src.close()
+      } catch { case _: Exception => 0L }
+    val throttledNs = num("/sys/fs/cgroup/cpu/cpu.stat", "throttled_time") +
+      num("/sys/fs/cgroup/cpu.stat", "throttled_usec") * 1000L
+    val stealTicks =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().collectFirst {
+          case l if l.startsWith("cpu ") => l.trim.split("\\s+")(8).toLong
+        }.getOrElse(0L)
+        finally src.close()
+      } catch { case _: Exception => 0L }
+    (throttledNs, stealTicks)
+  }
+
   /** @return (best rows/sec, CPU occupancy of the BEST run) where occupancy =
     *         Σ task-ms / (wall-ms × total cores). Low occupancy on a slow run means
     *         the cluster was starved (host interference), not that the plan stopped
-    *         scaling — the attribution the efficiency criterion needs.
+    *         scaling — the attribution the efficiency criterion needs. Each run also
+    *         logs executor GC fraction (Σ jvmGCTime / Σ task-ms) and the host
+    *         throttle/steal deltas, so a slow-but-busy run separates into "executors
+    *         were collecting garbage" vs "the host took the cycles".
     */
   private def run(units: Int, urls: Long): (Double, Double) = {
     val spark = session(units)
@@ -89,19 +119,25 @@ object ScalingBench {
       Bench.headline(spark, urls, runs = 1)
       val samples = (1 to numRuns).map { _ =>
         val l = graft.web.GraftMetricsListener.attach(spark)
+        val (thr0, steal0) = hostCounters()
         val t0 = System.nanoTime()
         val (rows, rate) = Bench.headline(spark, urls, runs = 1)
         val wallMs = (System.nanoTime() - t0) / 1e6
+        val (thr1, steal1) = hostCounters()
         Thread.sleep(300) // listener bus drain
         spark.sparkContext.removeSparkListener(l)
         val occupancy = l.totalRunTimeMs.sum() / (wallMs * cores)
-        (rows, rate, occupancy)
+        val gcFrac = l.totalJvmGcTimeMs.sum().toDouble / math.max(l.totalRunTimeMs.sum(), 1L)
+        (rows, rate, occupancy, gcFrac, thr1 - thr0, steal1 - steal0)
       }
       val best = samples.maxBy(_._2)
       System.err.println(s"[scaling] mode=$mode units=$units rows=${best._1} " +
         s"rate=${best._2.toLong} rows/s " +
         s"(runs: ${samples.map(_._2.toLong).mkString(", ")}; " +
-        f"occupancy: ${samples.map(s => f"${s._3}%.2f").mkString(", ")})")
+        f"occupancy: ${samples.map(s => f"${s._3}%.2f").mkString(", ")}; " +
+        f"gcFrac: ${samples.map(s => f"${s._4}%.3f").mkString(", ")}; " +
+        s"throttledNsDelta: ${samples.map(_._5).mkString(", ")}; " +
+        s"stealTicksDelta: ${samples.map(_._6).mkString(", ")})")
       (best._2, best._3)
     } finally spark.stop()
   }

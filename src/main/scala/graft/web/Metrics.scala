@@ -19,6 +19,9 @@ final class GraftMetricsListener extends SparkListener {
   private val stageNames = new ConcurrentHashMap[Int, String]()
   val totalRecordsRead = new LongAdder
   val totalRunTimeMs = new LongAdder
+  // executor-side GC attributed to tasks: jvmGCTime travels in TaskMetrics, so this
+  // works across real executor JVMs (local-cluster), where a driver MXBean cannot see
+  val totalJvmGcTimeMs = new LongAdder
   val maxTaskMs = new AtomicLong(0)
 
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
@@ -32,6 +35,7 @@ final class GraftMetricsListener extends SparkListener {
       tasks.put((e.stageId, e.taskInfo.taskId), stat)
       totalRecordsRead.add(stat.recordsRead)
       totalRunTimeMs.add(stat.runTimeMs)
+      totalJvmGcTimeMs.add(m.jvmGCTime)
       maxTaskMs.updateAndGet(x => math.max(x, stat.runTimeMs))
     }
   }
@@ -52,6 +56,7 @@ final class GraftMetricsListener extends SparkListener {
     s"""{"tasks":${ts.size},"recordsRead":${totalRecordsRead.sum()},""" +
       s""""recordsWritten":${ts.map(_.recordsWritten).sum},""" +
       s""""totalTaskMs":${totalRunTimeMs.sum()},"maxTaskMs":${maxTaskMs.get()},""" +
+      s""""jvmGcMs":${totalJvmGcTimeMs.sum()},""" +
       s""""memorySpilledBytes":${ts.map(_.memorySpilled).sum},""" +
       s""""diskSpilledBytes":${ts.map(_.diskSpilled).sum},""" +
       s""""skewRatio":${f"${skewRatio}%.3f"}}"""
