@@ -55,6 +55,28 @@ object DataQueries {
       "doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate " +
       "FROM d ORDER BY doc_id"
 
+  /** Incremental crawl-over-crawl dedup: the batch (docsWithDups — base 0..499 plus
+    * exact and perturbed copies) dedups against a prior-corpus hash table built from
+    * documents 0..249. Base ids < 250 and the exact copies of ids < 50 vanish
+    * (their text is already kept); perturbed copies and base ids ≥ 250 survive,
+    * minus batch-internal exact dups (min-id keeper). The oracle recomputes the
+    * anti-join + keeper window from scratch.
+    */
+  private val qDedupIncremental: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") < 250).select(md5(col("text")).as("text_md5"))
+    Dedup.dedupIncremental(docsWithDups(spark, dir), "doc_id", "text", corpus, "text_md5")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+  private val qDedupIncrementalSql =
+    s"WITH d AS ($docsWithDupsSql), " +
+      "corp AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250), " +
+      "h AS (SELECT doc_id, md5(text) AS h FROM d), " +
+      "f AS (SELECT * FROM h WHERE h NOT IN (SELECT h FROM corp)), " +
+      "k AS (SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS keep FROM f) " +
+      "SELECT doc_id, h AS text_md5 FROM k WHERE doc_id = keep ORDER BY doc_id"
+
   /** Exact character-5-gram jaccard pairs ≥ 0.5 — the distributed exact formulation
     * (distinct shingles → gram join → |∩|/|∪|), oracle via lateral gram expansion.
     */
@@ -552,6 +574,28 @@ object DataQueries {
       "SELECT t.doc_id, (EXISTS (SELECT 1 FROM dg JOIN bg ON dg.g = bg.g " +
       "WHERE dg.doc_id = t.doc_id))::INT AS contaminated FROM tok t ORDER BY doc_id"
 
+  /** The distributed semi-join decontamination path — the formulation for benchmark
+    * gram sets beyond collect/broadcast range — over a different benchmark slice
+    * than q_decontam_ngram, so the two paths gate independently. The oracle joins
+    * gram STRINGS; the engine joins xxhash64 hashes (certified no-false-positive on
+    * the gate corpus by the comparison itself).
+    */
+  private val qDecontamJoin: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val d = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+    val bench = d.where(col("doc_id") % 50 === 23)
+    Decontaminate.flagNgramOverlapJoin(d, "doc_id", "text", bench, "text", n = 8)
+      .select(col("doc_id"), col("contaminated").cast("int").as("contaminated"))
+      .orderBy("doc_id")
+  }
+  private val qDecontamJoinSql =
+    "WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+') AS w FROM documents), " +
+      "bg AS (SELECT DISTINCT g FROM (SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 7, 0)), " +
+      "i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS g FROM tok WHERE doc_id % 50 = 23)), " +
+      "dg AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w) - 7, 0)), " +
+      "i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS g FROM tok) " +
+      "SELECT t.doc_id, (EXISTS (SELECT 1 FROM dg JOIN bg ON dg.g = bg.g " +
+      "WHERE dg.doc_id = t.doc_id))::INT AS contaminated FROM tok t ORDER BY doc_id"
+
   /** Corpus-wide line-level boilerplate dedup: docs get a shared header/footer line
     * planted on id-keyed subsets (plus whatever 4-word lines repeat naturally in the
     * word-bag corpus); every line ≥10 chars that repeats anywhere survives only at
@@ -631,6 +675,39 @@ object DataQueries {
       "FROM g LEFT JOIN top ON g.gr = top.gr, p GROUP BY g.doc_id) " +
       s"SELECT t0.doc_id, ${r6sql("s.lm")} AS lm_logprob " +
       "FROM t0 LEFT JOIN s USING (doc_id) ORDER BY doc_id"
+
+  /** CCNet's head/middle/tail perplexity split over the LM scores: cut points are
+    * the exact interpolated score terciles (computed on r6-ROUNDED scores on both
+    * sides, so the quantile inputs are bit-identical); the oracle retrains the
+    * model, rescores, and recomputes the same `quantile_cont` cuts in SQL.
+    */
+  private val qLmBuckets: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val d = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+    val model = LmQuality.trainTrigramLm(d, "text", vocab = 2048, alpha = 0.4)
+    val scored = LmQuality.scoreTrigramLm(d, "text", model, "lm_logprob")
+      .select(col("doc_id"), r6(col("lm_logprob")).as("lm_logprob"))
+    LmQuality.perplexityBuckets(scored, "lm_logprob")
+      .select(col("doc_id"), col("lm_logprob"), col("lm_bucket"))
+      .orderBy("doc_id")
+  }
+  private val qLmBucketsSql =
+    "WITH t0 AS (SELECT doc_id, regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS t FROM documents), " +
+      "g AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(length(t) - 2, 0)), " +
+      "i -> substr(t, i, 3))) AS gr FROM t0 WHERE length(t) >= 3), " +
+      "c AS (SELECT gr, count(*) AS c FROM g GROUP BY 1), " +
+      "tot AS (SELECT sum(c)::DOUBLE AS n FROM c), " +
+      "top AS (SELECT gr, c FROM c ORDER BY c DESC, gr ASC LIMIT 2048), " +
+      "p AS (SELECT tot.n + 0.4 * ((SELECT count(*) FROM top) + 1) AS denom FROM tot), " +
+      "s AS (SELECT g.doc_id, avg(ln((coalesce(top.c, 0) + 0.4) / p.denom)) AS lm " +
+      "FROM g LEFT JOIN top ON g.gr = top.gr, p GROUP BY g.doc_id), " +
+      s"sc AS (SELECT t0.doc_id, ${r6sql("s.lm")} AS lm FROM t0 LEFT JOIN s USING (doc_id)), " +
+      // 16-digit literals round-trip to the same doubles as Scala's 1.0/3 and 2.0/3
+      "q AS (SELECT quantile_cont(lm, [0.3333333333333333, 0.6666666666666666]) AS c " +
+      "FROM sc WHERE lm IS NOT NULL) " +
+      "SELECT sc.doc_id, sc.lm AS lm_logprob, " +
+      "CASE WHEN sc.lm IS NULL THEN NULL WHEN sc.lm <= q.c[1] THEN 'tail' " +
+      "WHEN sc.lm <= q.c[2] THEN 'middle' ELSE 'head' END AS lm_bucket " +
+      "FROM sc, q ORDER BY sc.doc_id"
 
   /** The full curation loop composed END-TO-END — MinHash+LSH near-dup pairs →
     * connected-component clusters → quality-aware keeper → corpus-wide line dedup —
@@ -752,6 +829,7 @@ object DataQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> qDedupExact,
+    "q_dedup_incremental" -> qDedupIncremental,
     "q_dup_clusters" -> qDupClusters,
     "q_dup_clusters_dist" -> qDupClustersDist,
     "q_sample" -> qSample,
@@ -773,14 +851,17 @@ object DataQueries {
     "q_repetition" -> qRepetition,
     "q_decontam" -> qDecontam,
     "q_decontam_ngram" -> qDecontamNgram,
+    "q_decontam_join" -> qDecontamJoin,
     "q_line_dedup" -> qLineDedup,
     "q_keep_best" -> qKeepBest,
     "q_curation_chain" -> qCurationChain,
     "q_lm_quality" -> qLmQuality,
+    "q_lm_buckets" -> qLmBuckets,
     "q_script_profile" -> qScriptProfile)
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dup_clusters" -> qDupClustersSql,
     "q_dup_clusters_dist" -> qDupClustersSql, // same graph, distributed path forced
     "q_sample" -> qSampleSql,
@@ -802,9 +883,11 @@ object DataQueries {
     "q_repetition" -> qRepetitionSql,
     "q_decontam" -> qDecontamSql,
     "q_decontam_ngram" -> qDecontamNgramSql,
+    "q_decontam_join" -> qDecontamJoinSql,
     "q_line_dedup" -> qLineDedupSql,
     "q_keep_best" -> qKeepBestSql,
     "q_curation_chain" -> qCurationChainSql,
     "q_lm_quality" -> qLmQualitySql,
+    "q_lm_buckets" -> qLmBucketsSql,
     "q_script_profile" -> qScriptProfileSql)
 }

@@ -33,10 +33,11 @@ import org.apache.spark.sql.functions._
   * text is flagged false (it cannot contain anything).
   *
   * Scale note: the lazy paths broadcast ONE aggregated row; the compiled paths
-  * ship one shared automaton / sorted long[] per executor. If the benchmark gram
-  * set ever outgrew broadcast range (it should not — 10⁶ grams ≈ 8 MB of longs),
-  * the same semantics fall out of `explode(gram hashes)` + broadcast LEFT SEMI join
-  * + re-attach by doc id, trading one corpus-side explode for the per-row probe.
+  * ship one shared automaton / sorted long[] per executor (fine to ~10⁷ grams).
+  * Beyond that — a multi-benchmark suite at 10⁸–10⁹ grams — use
+  * [[flagNgramOverlapJoin]]: a distributed explode + shuffle semi-join with no
+  * driver action and no broadcast, trading one corpus-side explode for the
+  * per-row probe.
   */
 object Decontaminate {
 
@@ -118,6 +119,38 @@ object Decontaminate {
     docs.withColumn(outCol,
       coalesce(graft.functions.hashfns.anyInSortedLongs(
         tokenNgramHashes(col(textCol), n), grams), lit(false)))
+  }
+
+  /** N-gram path as a DISTRIBUTED SEMI-JOIN — the scale escape hatch for benchmark
+    * gram sets too large to collect or broadcast at all (a multi-benchmark suite at
+    * 10⁸–10⁹ grams ≈ GBs of hashes; the compiled probe's driver collect and
+    * per-executor array stop being reasonable around 10⁷). No driver action, no
+    * broadcast: the corpus explodes to `(doc id, gram hash)` pairs (within-doc
+    * duplicates collapsed first — `tokenNgramHashes` output is array_distinct'd
+    * here — so a repetitive page costs its distinct grams only), left-semi-joins
+    * the benchmark gram table on the hash (both sides shuffle on the gram key;
+    * AQE's skew-join split absorbs a corpus-hot phrase gram), and the surviving
+    * contaminated doc ids — a small set by construction — re-attach with one
+    * left join that AQE turns into a broadcast in practice.
+    *
+    * Identical flag semantics to [[flagNgramOverlap]]/[[flagNgramOverlapCompiled]]
+    * (any-gram-overlap, null text → false), pinned by the q_decontam_join gate and
+    * a three-path parity ScalaTest. Requires an id column to carry the flag back;
+    * rows with a NULL id cannot anchor the join and are flagged false — give docs
+    * real ids before decontaminating (house policy of [[Dedup.dedupLines]]).
+    */
+  def flagNgramOverlapJoin(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8,
+      outCol: String = "contaminated"): DataFrame = {
+    val grams = bench
+      .select(explode(tokenNgramHashes(col(benchTextCol), n)).as("__g")).distinct()
+    val docGrams = docs
+      .select(col(idCol), explode(array_distinct(tokenNgramHashes(col(textCol), n))).as("__g"))
+    val hits = docGrams.join(grams, Seq("__g"), "left_semi")
+      .select(col(idCol)).distinct()
+    docs.join(hits.withColumn("__graft_hit", lit(true)), Seq(idCol), "left")
+      .withColumn(outCol, coalesce(col("__graft_hit"), lit(false)))
+      .drop("__graft_hit")
   }
 
   /** Drop contaminated documents (substring path). */

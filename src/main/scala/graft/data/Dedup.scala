@@ -25,6 +25,36 @@ object Dedup {
       .withColumnRenamed("__h", "text_md5")
   }
 
+  /** Incremental exact dedup — curate a NEW crawl batch against an already-kept
+    * corpus, the rolling workflow of a production pipeline (each Common-Crawl dump
+    * dedups against everything kept before it). Drops batch rows whose text hash
+    * already exists in the corpus, then exact-dedups the batch internally (min-id
+    * keeper). `corpusHashes` needs ONLY the hash column — the compact artifact a
+    * rolling pipeline maintains between crawls (16 bytes/doc; 10¹² docs ≈ 16 TB,
+    * itself a partitioned table, never a broadcast).
+    *
+    * Scale shape: one left-anti shuffle join of the batch against the corpus
+    * hashes on the 128-bit key (AQE broadcasts when the corpus side is small) +
+    * one map-side-combinable min-id groupBy and join-back for the batch-internal
+    * keeper — the same skew-proof shape as [[keepBest]], no window over the hash.
+    * Rows with a null `textCol` (cannot hash) or a null `idCol` (cannot anchor
+    * keeper identity) pass through unchanged — the house null policy: never
+    * silently merge or drop unidentifiable rows.
+    */
+  def dedupIncremental(batch: DataFrame, idCol: String, textCol: String,
+      corpusHashes: DataFrame, hashCol: String): DataFrame = {
+    val hashable = batch.where(col(textCol).isNotNull && col(idCol).isNotNull)
+    val hashed = hashable.withColumn("__h", md5(col(textCol)))
+    val fresh = hashed.join(
+      corpusHashes.select(col(hashCol).as("__h")).where(col("__h").isNotNull).distinct(),
+      Seq("__h"), "left_anti")
+    val keeper = fresh.groupBy(col("__h")).agg(min(col(idCol)).as("__keep"))
+    fresh.join(keeper, Seq("__h"))
+      .where(col(idCol) === col("__keep"))
+      .drop("__h", "__keep")
+      .unionByName(batch.where(col(textCol).isNull || col(idCol).isNull))
+  }
+
   /** Keeper selection for duplicate groups: keep the highest-`scoreCol` row per
     * `groupCol` (ties → smallest `idCol`; null scores lose to any non-null score).
     * The quality-aware complement of [[exact]]'s min-id keeper: cluster first

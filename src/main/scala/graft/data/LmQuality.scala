@@ -90,4 +90,35 @@ object LmQuality {
   def scoreTrigramLm(docs: DataFrame, textCol: String, model: TrigramLmModel,
       outCol: String = "lm_logprob"): DataFrame =
     docs.withColumn(outCol, textfns.trigramLogProb(normalize(col(textCol)), model))
+
+  /** CCNet's head/middle/tail split: bucket documents by their LM score quantiles
+    * (`lo`/`hi` cut points, thirds by default) — "head" is the best-scoring third
+    * (highest mean log-prob = lowest perplexity), "tail" the worst, matching the
+    * paper's convention. Null scores (unscorable docs) get a null bucket.
+    *
+    * The two cut points come from ONE exact-interpolated-percentile aggregation
+    * over `scoreCol` and land on the driver as two doubles — `percentile` buffers
+    * the group's values, so at corpus scale pass a deterministic hash-SAMPLE of
+    * the scored frame as `cutoffSource` (the same documented sample contract as
+    * [[trainTrigramLm]]; quantiles of a 10⁻³ sample of 10¹² docs are exact to
+    * ~4 decimal places) and let the full frame be bucketed by the sampled cuts.
+    * Bucketing itself is a pure projection — no shuffle, no second pass.
+    */
+  def perplexityBuckets(scored: DataFrame, scoreCol: String,
+      bucketCol: String = "lm_bucket", lo: Double = 1.0 / 3, hi: Double = 2.0 / 3,
+      cutoffSource: Option[DataFrame] = None): DataFrame = {
+    require(lo > 0 && hi < 1 && lo <= hi, s"need 0 < lo <= hi < 1, got ($lo, $hi)")
+    val src = cutoffSource.getOrElse(scored)
+    val cuts = src.where(col(scoreCol).isNotNull)
+      .agg(percentile(col(scoreCol).cast("double"), array(lit(lo), lit(hi))).as("c"))
+      .head.getSeq[Double](0)
+    if (cuts == null || cuts.isEmpty) // nothing scorable anywhere: every bucket null
+      return scored.withColumn(bucketCol, lit(null).cast("string"))
+    val (cLo, cHi) = (cuts(0), cuts(1))
+    scored.withColumn(bucketCol,
+      when(col(scoreCol).isNull, lit(null).cast("string"))
+        .when(col(scoreCol).cast("double") <= cLo, lit("tail"))
+        .when(col(scoreCol).cast("double") <= cHi, lit("middle"))
+        .otherwise(lit("head")))
+  }
 }

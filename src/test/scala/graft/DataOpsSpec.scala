@@ -704,9 +704,62 @@ class DataOpsSpec extends SparkTestBase {
     assert(lazyFlags == compiled)
     assert(compiled.values.exists(identity), "parity is vacuous if nothing matched")
     assert(!compiled.values.forall(identity), "parity is vacuous if everything matched")
+    // the distributed semi-join path (no driver collect, no broadcast) must agree too
+    val joined = Decontaminate.flagNgramOverlapJoin(d, "doc_id", "text", bench, "text", n = 8)
+      .select("doc_id", "contaminated").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(joined == compiled)
     // empty benchmark: flags nothing, no error
     val none = Decontaminate.flagNgramOverlapCompiled(
       d, "text", bench.where(lit(false)), "text", n = 8)
     assert(none.where(col("contaminated")).count() == 0)
+    val noneJoin = Decontaminate.flagNgramOverlapJoin(
+      d, "doc_id", "text", bench.where(lit(false)), "text", n = 8)
+    assert(noneJoin.where(col("contaminated")).count() == 0)
+  }
+
+  test("perplexity buckets split scores into head/middle/tail at exact terciles") {
+    import spark.implicits._
+    // scores 1..9: tercile cuts interpolate to 11/3 and 19/3 → {1,2,3} tail,
+    // {4,5,6} middle, {7,8,9} head; a null score gets a null bucket
+    val scored = ((1 to 9).map(i => (i.toLong, Some(i.toDouble))) :+
+      (10L, Option.empty[Double])).toDF("doc_id", "s")
+    val got = LmQuality.perplexityBuckets(scored, "s")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    (1 to 3).foreach(i => assert(got(i.toLong).contains("tail"), s"$i: ${got(i.toLong)}"))
+    (4 to 6).foreach(i => assert(got(i.toLong).contains("middle"), s"$i: ${got(i.toLong)}"))
+    (7 to 9).foreach(i => assert(got(i.toLong).contains("head"), s"$i: ${got(i.toLong)}"))
+    assert(got(10L).isEmpty)
+    // sampled-cutoff contract: cut points come from cutoffSource, not the scored frame
+    val sample = Seq((100L, Some(100.0)), (101L, Some(200.0)), (102L, Some(300.0)))
+      .toDF("doc_id", "s")
+    val viaSample = LmQuality.perplexityBuckets(scored, "s", cutoffSource = Some(sample))
+      .where(col("s").isNotNull).collect().map(_.getString(2)).toSet
+    assert(viaSample == Set("tail")) // every real score sits below the sample's lo cut
+    // all-null scores: no cuts exist, every bucket null, no crash
+    val allNull = LmQuality.perplexityBuckets(
+      Seq((1L, Option.empty[Double])).toDF("doc_id", "s"), "s")
+    assert(allNull.collect().head.getString(2) == null)
+  }
+
+  test("incremental dedup drops corpus-known texts and keeps min-id within the batch") {
+    import spark.implicits._
+    val batch = Seq(
+      (java.lang.Long.valueOf(1L), "alpha text body"),
+      (java.lang.Long.valueOf(2L), "beta text body"),   // known to the corpus → dropped
+      (java.lang.Long.valueOf(3L), "alpha text body"),  // batch-internal dup of 1 → dropped
+      (java.lang.Long.valueOf(4L), "gamma text body"),
+      (java.lang.Long.valueOf(5L), null),               // null text → passthrough
+      (null.asInstanceOf[java.lang.Long], "delta text") // null id → passthrough
+    ).toDF("doc_id", "text")
+    val corpus = Seq("beta text body").toDF("t").select(md5(col("t")).as("text_md5"))
+    val got = Dedup.dedupIncremental(batch, "doc_id", "text", corpus, "text_md5")
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toSet
+    assert(got == Set((1L, "alpha text body"), (4L, "gamma text body"),
+      (5L, null), (null, "delta text")), got.toString)
+    // empty corpus: pure batch-internal exact dedup
+    val noCorpus = Dedup.dedupIncremental(batch, "doc_id", "text",
+      corpus.where(lit(false)), "text_md5")
+    assert(noCorpus.count() == 5) // only the internal dup (id 3) drops
   }
 }
