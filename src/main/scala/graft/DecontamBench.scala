@@ -68,6 +68,14 @@ object DecontamBench {
         Decontaminate.flagNgramOverlapCompiled(docs, "text", bench, "text", n = 8)
           .where(col("contaminated")).count()
       }
+      // the collect/broadcast-free semi-join path: the formulation for gram sets
+      // beyond the compiled path's driver-collect range (10⁸+); measured here at
+      // the same sizes so its constant-factor cost vs the probe is on record
+      val (jSecs, jFlagged) = time {
+        Decontaminate.flagNgramOverlapJoin(docs, "doc_id", "text", bench, "text", n = 8)
+          .where(col("contaminated")).count()
+      }
+      require(jFlagged == cFlagged, s"join/compiled disagree at m=$m: $jFlagged vs $cFlagged")
       val lazyRes =
         if (gramCount > 200000) None // per-row linear scan: 10¹¹ steps — the point
         else Some(time {
@@ -76,12 +84,12 @@ object DecontamBench {
         })
       lazyRes.foreach { case (s, f) => require(f == cFlagged,
         s"lazy/compiled disagree at m=$m: $f vs $cFlagged") }
-      System.err.println(f"[decontam] grams=$gramCount%d compiled=$cSecs%.2fs " +
+      System.err.println(f"[decontam] grams=$gramCount%d compiled=$cSecs%.2fs join=$jSecs%.2fs " +
         f"lazy=${lazyRes.map(_._1).fold("skipped")(s => f"$s%.2fs")} flagged=$cFlagged")
-      (gramCount, cSecs, lazyRes.map(_._1), cFlagged)
+      (gramCount, cSecs, jSecs, lazyRes.map(_._1), cFlagged)
     }
-    val json = results.map { case (g, c, l, f) =>
-      s"""{"grams":$g,"compiled_secs":$c,"lazy_secs":${l.fold("null")(_.toString)},"flagged":$f}"""
+    val json = results.map { case (g, c, j, l, f) =>
+      s"""{"grams":$g,"compiled_secs":$c,"join_secs":$j,"lazy_secs":${l.fold("null")(_.toString)},"flagged":$f}"""
     }.mkString("[", ",", "]")
     println(s"""{"decontam_docs":$nDocs,"points":$json,""" +
       s""""policy":"best-of-$runs after untimed warmup","cpus":$cpus}""")
