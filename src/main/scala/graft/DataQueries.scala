@@ -220,6 +220,21 @@ object DataQueries {
       "FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
       s"SELECT idA, idB, ${r6sql("cosine")} AS cosine FROM s WHERE cosine >= 0.999 ORDER BY idA, idB"
 
+  /** SemDeDup-style cluster-then-verify pairs at threshold 0.999 on planted exact
+    * copies: identical vectors always share a Voronoi cell, so on this corpus the
+    * output equals the EXACT pair set — the same loud-recall-check oracle design as
+    * q_minhash_pairs/q_embed_dup (a split true pair hash-mismatches, not silently).
+    */
+  private val qSemanticPairs: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val base = spark.read.parquet(s"$dir/embeddings.parquet").select(col("vec_id"), col("embedding"))
+    val withDups = base.unionByName(base.where(col("vec_id") < 50)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    Dedup.semanticPairs(withDups, "vec_id", "embedding", nCentroids = 8, threshold = 0.999)
+      .select(col("idA"), col("idB"), r6(col("cosine")).as("cosine"))
+      .orderBy("idA", "idB")
+  }
+  private val qSemanticPairsSql = qEmbedDupSql
+
   /** Deterministic hash sampling: uniform 20% by doc id plus a stratified variant
     * (downsample "en" to 10%, default 50%). The oracle reproduces the exact md5-based
     * keep decision — no RNG, so both engines select identical row sets.
@@ -841,6 +856,7 @@ object DataQueries {
     "q_ann_topk" -> qAnnTopK,
     "q_ann_ivf" -> qAnnIvf,
     "q_embed_dup" -> qEmbedDup,
+    "q_semantic_pairs" -> qSemanticPairs,
     "q_token_count" -> qTokenCount,
     "q_quality" -> qQuality,
     "q_langid" -> qLangId,
@@ -873,6 +889,7 @@ object DataQueries {
     "q_ann_topk" -> qAnnTopKSql,
     "q_ann_ivf" -> qAnnTopKSql, // full-probe IVF must equal exact brute force
     "q_embed_dup" -> qEmbedDupSql,
+    "q_semantic_pairs" -> qSemanticPairsSql,
     "q_token_count" -> qTokenCountSql,
     "q_quality" -> qQualitySql,
     "q_langid" -> qLangIdSql,

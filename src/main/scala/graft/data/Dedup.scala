@@ -432,6 +432,43 @@ object Dedup {
       .select("idA", "idB", "cosine")
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", 2023 — public paper):
+    * Voronoi-cluster the embeddings (deterministic hash-sampled centroids + one
+    * assignment pass, [[Ann.centroids]]/[[Ann.assign]]), generate candidate pairs
+    * ONLY within a cell, exact-verify by cosine ≥ `threshold`. Complements
+    * [[embeddingCosinePairs]] (SRP banding): clustering candidates catch high-cosine
+    * pairs that share no sketch band, and expected cell size corpus/nCentroids
+    * bounds the quadratic verify. Recall < 1 BY DESIGN when a true pair straddles a
+    * cell boundary — the published method's tradeoff; identical vectors always land
+    * in the same cell (same argmax, same tie-break).
+    *
+    * Scale shape: centroid choice is a tiny hash-ordered sample materialized once;
+    * assignment is a map-only literal argmax for ≤128 centroids (no shuffle); the
+    * cell self-join shuffles each side once on centroid_id, vectors carried exactly
+    * once per side (the immediate cosine+filter consumes them — no re-join pass);
+    * a skewed cell is split by AQE. Downstream composes like every pair source:
+    * [[dupClusters]] then [[keepBest]].
+    */
+  def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 256, threshold: Double = 0.95): DataFrame = {
+    require(nCentroids >= 1, s"nCentroids must be >= 1, got $nCentroids")
+    val docs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // materialize the centroid sample into a local relation once (ivfTopK contract:
+    // assign() collects its centroid frame — don't hand it a corpus-scan lineage)
+    val centsDf = Ann.centroids(docs, "id", "v", nCentroids)
+    val cents = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(centsDf.collect(): _*), centsDf.schema)
+    val assigned = Ann.assign(docs, cents, "id", "v")
+    assigned.select(col("centroid_id"), col("id").as("idA"), col("v").as("__va"))
+      .join(assigned.select(col("centroid_id"), col("id").as("idB"), col("v").as("__vb")),
+        Seq("centroid_id"))
+      .where(col("idA") < col("idB"))
+      .withColumn("cosine", Ann.cosine(col("__va"), col("__vb")))
+      .where(col("cosine") >= threshold)
+      .select(col("idA"), col("idB"), col("cosine"))
+  }
+
   /** Signed-random-projection sketch: bit i = sign(Σ_d v_d · rademacher(i, d)). */
   def srpSketch(vec: Column, bits: Int): Column =
     element_at(srpSketchBands(vec, bits, 1), 1)

@@ -741,6 +741,44 @@ class DataOpsSpec extends SparkTestBase {
     assert(allNull.collect().head.getString(2) == null)
   }
 
+  test("semantic pairs find identical embeddings within cells at any centroid count") {
+    import spark.implicits._
+    // deterministic vectors; ids 100+i are exact copies of i (cosine 1), and a
+    // mildly-rotated copy of id 3 sits just below the 0.999 threshold
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(8)(d => (math.sin(seed * 31 + d * 7).toFloat))
+    val rows = (0 until 20).map(i => (i.toLong, vec(i))) ++
+      (0 until 5).map(i => (100L + i, vec(i))) :+
+      (200L, vec(3).zipWithIndex.map { case (x, d) => if (d == 0) x + 0.8f else x })
+    val df = rows.toDF("vec_id", "embedding")
+    // sequential exact reference (the sin lattice yields a couple of NATURAL
+    // ≥0.999 pairs beyond the planted ones — the reference catches them all)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (dot, na, nb) = a.zip(b).foldLeft((0.0, 0.0, 0.0)) { case ((d, x, y), (p, q)) =>
+        (d + p.toDouble * q, x + p.toDouble * p, y + q.toDouble * q) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = (for {
+      (ia, va) <- rows; (ib, vb) <- rows
+      if ia < ib && cos(va, vb) >= 0.999
+    } yield (ia, ib)).toSet
+    assert((0 until 5).forall(i => exact.contains((i.toLong, 100L + i))))
+    assert(!exact.exists(p => p._1 == 200L || p._2 == 200L))
+    Seq(1, 4, 16).foreach { k =>
+      val pairs = Dedup.semanticPairs(df, "vec_id", "embedding",
+          nCentroids = k, threshold = 0.999)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // identical vectors always share a cell → planted pairs never lost
+      (0 until 5).foreach(i =>
+        assert(pairs.contains((i.toLong, 100L + i)), s"k=$k missing ($i, ${100 + i})"))
+      assert(pairs.subsetOf(exact), s"k=$k: false positives ${pairs -- exact}")
+    }
+    // nCentroids=1 degenerates to the exact all-pairs verify: the full pair set
+    val all = Dedup.semanticPairs(df, "vec_id", "embedding", nCentroids = 1,
+      threshold = 0.999).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == exact, s"got $all want $exact")
+  }
+
   test("incremental dedup drops corpus-known texts and keeps min-id within the batch") {
     import spark.implicits._
     val batch = Seq(
