@@ -555,6 +555,48 @@ case class TrigramLogProb(child: Expression, model: TrigramLmModel)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-row charset resolution for web-crawl payload decode. Charset names arrive
+  * from HTTP Content-Type headers, so they are attacker-controlled strings: unknown,
+  * illegal, or unsupported names fall back to UTF-8 (the WARC default) instead of
+  * failing the task. Resolved [[java.nio.charset.Charset]]s are cached per name —
+  * a crawl shard carries a handful of distinct charsets across millions of records.
+  */
+object CharsetKernels {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, java.nio.charset.Charset]()
+  def resolve(name: String): java.nio.charset.Charset =
+    if (name == null || name.isEmpty) java.nio.charset.StandardCharsets.UTF_8
+    else cache.computeIfAbsent(name, n =>
+      try java.nio.charset.Charset.forName(n.trim)
+      catch { case _: IllegalArgumentException | _: java.nio.charset.UnsupportedCharsetException =>
+        java.nio.charset.StandardCharsets.UTF_8 })
+
+  /** Decode `bytes` under the named charset (empty/null/unknown → UTF-8). The String
+    * constructor REPLACES malformed sequences with U+FFFD — deliberately unlike
+    * Spark's `decode` builtin, which throws MALFORMED_CHARACTER_CODING: crawl bytes
+    * are untrusted, and one mojibake page must not fail the task. Valid input decodes
+    * byte-identically to the builtin.
+    */
+  def decode(bytes: Array[Byte], cs: UTF8String): UTF8String =
+    UTF8String.fromString(new String(bytes, resolve(if (cs == null) null else cs.toString)))
+}
+
+/** `decode(binary, charset_column)` — Spark's builtin `decode` takes a LITERAL charset
+  * only; crawl pages declare theirs per row in the HTTP Content-Type. Whole-stage
+  * codegen'd via a static kernel call. Standard binary null semantics (either child
+  * null → null); [[textfns.decodeCharset]] coalesces the charset to "" (→ UTF-8, the
+  * WARC default) so a missing header never nulls the page out.
+  */
+case class CharsetDecode(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullSafeEval(bin: Any, cs: Any): Any =
+    CharsetKernels.decode(bin.asInstanceOf[Array[Byte]], cs.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, (b, c) => s"graft.functions.CharsetKernels.decode($b, $c)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 object textfns {
   private def e(c: Column): Expression = ColumnBridge.expression(c)
   private def col(ex: Expression): Column = ColumnBridge.column(ex)
@@ -583,4 +625,12 @@ object textfns {
     col(TrigramLogProb(e(text), model))
   /** Packed-long code-point trigrams (LM training's count key). */
   def packedTrigrams(text: Column): Column = col(PackedTrigrams(e(text)))
+  /** Decode a binary column under a PER-ROW charset name (null/empty/unknown name →
+    * UTF-8). Spark's `decode` builtin takes only a literal charset; crawl pages
+    * declare theirs in the HTTP Content-Type header, one per row.
+    */
+  def decodeCharset(bin: Column, charsetName: Column): Column = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    col(CharsetDecode(e(bin), e(coalesce(charsetName, lit("")))))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.web
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** WARC ingest — the Common-Crawl container format (ISO 28500, a public spec):
@@ -333,6 +333,15 @@ object WarcSource {
       }
     spark.createDataset(rdd)
   }
+
+  /** The charset parameter of an HTTP Content-Type header value, as a column:
+    * `text/html; charset="ISO-8859-1"` → `iso-8859-1`; absent parameter → "".
+    * Charset names are case-insensitive (RFC 2978 §5.1), quotes optional. Feed the
+    * result to [[graft.functions.textfns.decodeCharset]] ("" decodes as UTF-8, the
+    * WARC default) — done for you by `WebFeatures.htmlText(html, contentType)`.
+    */
+  def charsetOf(contentType: Column): Column =
+    regexp_extract(lower(contentType), """charset\s*=\s*"?\s*([^";\s]+)""", 1)
 
   /** Response records lowered to the engine's page schema: `(url, warc_ts, html)`
     * (+ http_status, content_type), ready for `WebFeatures.htmlText` / the

@@ -78,8 +78,23 @@ object WebFeatures {
     * (decode + regexp), no UDF. On the synthetic page table this reproduces the `text`
     * column byte-identically — the north rule's per-row invariant, asserted in WebSpec.
     */
-  def htmlText(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val s = decode(html, "UTF-8")
+  def htmlText(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    // NOT Spark's `decode` builtin: that throws MALFORMED_CHARACTER_CODING on invalid
+    // UTF-8, and crawl bytes are untrusted — one mojibake page must not kill the task.
+    // The kernel replaces malformed sequences with U+FFFD; valid UTF-8 is unchanged,
+    // preserving the byte-identity invariant on the synthetic page table.
+    stripTags(graft.functions.textfns.decodeCharset(html, lit("")))
+
+  /** Charset-aware variant for WARC-sourced pages: decode each page's bytes under the
+    * charset its own HTTP Content-Type declared (`WarcSource.pages` carries it as
+    * `content_type`); pages with no/unknown charset parameter decode as UTF-8 — the
+    * WARC-default fallback — making this a strict superset of the UTF-8 overload.
+    */
+  def htmlText(html: org.apache.spark.sql.Column,
+      contentType: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    stripTags(graft.functions.textfns.decodeCharset(html, graft.web.WarcSource.charsetOf(contentType)))
+
+  private def stripTags(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val body = regexp_extract(s, "(?s)<body[^>]*>(.*)</body>", 1)
     regexp_replace(body, "(?s)<[^>]*>", "")
   }

@@ -144,7 +144,10 @@ class TextSpec extends SparkTestBase {
         textfns.trigramLogProb(s1, new graft.functions.TrigramLmModel(
           Array(graft.functions.TrigramLmModel.packGram("mar")).sorted,
           Array(-1.0), -5.0)).as("lm"),
-        textfns.packedTrigrams(s1).as("packed"))
+        textfns.packedTrigrams(s1).as("packed"),
+        textfns.decodeCharset(org.apache.spark.sql.functions.encode(s1, "UTF-8"),
+          org.apache.spark.sql.functions.when(col("id") % 2 === 0, lit("ISO-8859-1"))
+            .otherwise(lit("bogus-charset"))).as("cs"))
       assert(df.count() == 64)
       // "*(1)" marks the WholeStageCodegen stage in the simple plan string
       assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"))
@@ -158,6 +161,7 @@ class TextSpec extends SparkTestBase {
       // "martha 0" -> 6 trigrams; first is "mar" = the packed model key above
       assert(r.getSeq[Long](13).size == 6 &&
         r.getSeq[Long](13).head == graft.functions.TrigramLmModel.packGram("mar"))
+      assert(r.getString(14) == "martha 0") // ascii round-trips under any charset
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 

@@ -382,6 +382,52 @@ class WebSpec extends SparkTestBase {
       salvaged.map(_.url).mkString(", "))
   }
 
+  test("WARC pages decode under their declared charset, falling back to UTF-8") {
+    import graft.web.{WarcSource, WebFeatures}
+    def rec(url: String, contentType: String, body: Array[Byte]): Array[Byte] = {
+      val http = s"HTTP/1.1 200 OK\r\nContent-Type: $contentType\r\n\r\n".getBytes("ISO-8859-1") ++ body
+      val header = s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Date: 2024-03-01T00:00:00Z\r\n" +
+        s"WARC-Target-URI: $url\r\nContent-Length: ${http.length}\r\n\r\n"
+      header.getBytes("ISO-8859-1") ++ http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    val latinBody = "<html><body>café résumé</body></html>".getBytes("ISO-8859-1")
+    assert(latinBody.count(b => (b & 0xFF) == 0xE9) == 3) // genuinely non-UTF-8 bytes
+    val shard =
+      // quoted charset name, mixed case: RFC 2978 names are case-insensitive
+      rec("http://l.example/a", """text/html; charset="ISO-8859-1"""", latinBody) ++
+      // same bytes, no charset parameter: must fall back to UTF-8 (mojibake, not null)
+      rec("http://l.example/b", "text/html", latinBody) ++
+      // unknown charset name: fall back to UTF-8 instead of failing the task
+      rec("http://l.example/c", "text/html; charset=not-a-charset",
+        "<html><body>plain ascii</body></html>".getBytes("UTF-8")) ++
+      // UTF-8 page through the charset-aware path: byte-identical to the UTF-8 overload
+      rec("http://l.example/d", "text/html; charset=utf-8",
+        "<html><body>café 中文</body></html>".getBytes("UTF-8"))
+    val dir = java.nio.file.Files.createTempDirectory("warc_charset")
+    java.nio.file.Files.write(dir.resolve("cs.warc"), shard)
+
+    val pages = WarcSource.pages(WarcSource.records(spark, dir.toString + "/*"))
+    val decoded = pages
+      .withColumn("text_cs", WebFeatures.htmlText(col("html"), col("content_type")))
+      .withColumn("text_utf8", WebFeatures.htmlText(col("html")))
+      .select("url", "text_cs", "text_utf8")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(decoded("http://l.example/a")._1 == "café résumé")
+    // UTF-8 decode of 0xE9 is malformed → replacement chars, never a crash/null
+    assert(decoded("http://l.example/b")._1 == decoded("http://l.example/b")._2 &&
+      decoded("http://l.example/b")._1.contains('�'))
+    assert(decoded("http://l.example/c")._1 == "plain ascii")
+    assert(decoded("http://l.example/d")._1 == "café 中文" &&
+      decoded("http://l.example/d")._1 == decoded("http://l.example/d")._2)
+
+    // charsetOf unit surface: parameter extraction shapes
+    import spark.implicits._
+    val cs = Seq("text/html; charset=ISO-8859-1", """TEXT/HTML;CHARSET = "Windows-1252" """,
+      "text/html", null).toDF("ct")
+      .select(WarcSource.charsetOf(col("ct")).as("cs")).collect().map(_.getString(0))
+    assert(cs(0) == "iso-8859-1" && cs(1) == "windows-1252" && cs(2) == "")
+  }
+
   private def warcRec(typ: String, url: String, date: String, payload: Array[Byte],
       lengthOverride: Option[Long] = None): Array[Byte] = {
     val header = s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Date: $date\r\n" +
