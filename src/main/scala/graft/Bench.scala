@@ -59,6 +59,39 @@ object Bench {
     (rows, rows / secs)
   }
 
+  /** Fixed-work host-envelope probe: sort + hash-fold 16M seeded longs (128 MB —
+    * past L3, so memory bandwidth is in the measurement) on ONE thread. The driver's
+    * artifact and a builder's recorded envelope on the same HEAD have disagreed by
+    * 35% two rounds running; a number that travels WITH each artifact lets readers
+    * normalize for the host's granted CPU instead of guessing. min-of-3: host noise
+    * is one-sided (a run can be slowed, never sped up).
+    */
+  def cpuProbe(): Double = {
+    val n = 1 << 24
+    val a = new Array[Long](n)
+    (1 to 3).map { _ =>
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < n) { x = graft.functions.HashKernels.splitmix64(x); a(i) = x; i += 1 }
+      val t0 = System.nanoTime()
+      java.util.Arrays.sort(a)
+      var h = 0L; i = 0
+      while (i < n) { h ^= graft.functions.HashKernels.splitmix64(a(i) ^ i); i += 1 }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (h == 42L) System.err.println("[probe] improbable fold") // keep the fold live
+      dt
+    }.min
+  }
+
+  /** Total JVM GC time so far, ms (all collectors). local[*] executors share this
+    * JVM, so the figure covers the measured work.
+    */
+  def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -91,10 +124,16 @@ object Bench {
         .groupBy(org.apache.spark.sql.functions.col("l_returnflag")).count().count()
     } catch { case _: Throwable => () }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    // exploration knob: skip the 61 gate queries and measure only the headline
+    // exploration knob: skip the gate queries and measure only the headline
     val headlineOnly = sys.env.get("SPARK_GRAFT_HEADLINE_ONLY").contains("1")
+    // exploration knob: time only the named queries (comma-separated) while
+    // iterating on one — a filtered run is NOT a recordable artifact
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val queryFns = if (headlineOnly) Map.empty[String, (SparkSession, String) => DataFrame]
-      else SparkEntry.queries
+      else only match {
+        case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+        case None => SparkEntry.queries
+      }
     val results = queryFns.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val secs = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -113,6 +152,8 @@ object Bench {
     headline(spark, headlineUrls, runs = 1) // untimed warmup: JIT + codegen (measured 5-8x effect)
     val headlineRuns = 5
     val (hRows, hRate) = headline(spark, headlineUrls, runs = headlineRuns)
+    val probeSecs = cpuProbe() // after the measured work: probe under the same host state
+    val gcMs = gcMillis()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
@@ -123,7 +164,12 @@ object Bench {
       s""""headline_rows":$hRows,"headline_rows_per_sec":${hRate.toLong},""" +
       s""""headline_policy":"best-of-$headlineRuns after untimed warmup",""" +
       s""""headline_urls":$headlineUrls,"cpus":$cpus,""" +
-      s""""partitions":${spark.conf.get("spark.sql.shuffle.partitions")}}""")
+      s""""partitions":${spark.conf.get("spark.sql.shuffle.partitions")},""" +
+      // host-envelope self-calibration: probe_secs = fixed-work single-thread
+      // sort+hash (min-of-3; bigger = a slower/noisier host granted this JVM),
+      // gc_ms = total JVM GC time across the whole bench. Interpretation rules in
+      // BENCH/BASELINE.md.
+      f""""probe_secs":$probeSecs%.3f,"gc_ms":$gcMs}""")
     spark.stop()
   }
 }

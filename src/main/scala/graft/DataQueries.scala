@@ -744,11 +744,15 @@ object DataQueries {
       .unionByName(base.where(col("doc_id") >= 50)
         .select((col("doc_id") + 200000).as("doc_id"),
           concat(col("text"), lit(" xyzzy")).as("text")))
+    // lined feeds the LSH signature pass, BOTH exact-verify text joins, and the
+    // scored frame; kept feeds dedupLines' three self-references. Persisting the two
+    // tiny frames stops the whole upstream chain re-executing per reference — worth
+    // ~1.5s of this gate's fixed overhead (Bench clearCache()s after the gate set).
     val lined = d0.select(col("doc_id"), concat(
       when(col("doc_id") % 3 === 0, lit("SHARED BOILERPLATE LINE ALPHA\n")).otherwise(lit("")),
       regexp_replace(col("text"), "(\\S+ \\S+ \\S+ \\S+) ", "$1\n"),
       when(col("doc_id") % 4 === 0, lit("\nSHARED FOOTER LINE BETA")).otherwise(lit("")))
-      .as("text"))
+      .as("text")).persist()
     val pairs = Dedup.minhashLsh(lined, "doc_id", "text",
       shingleSize = 5, numHashes = 64, bands = 32, threshold = 0.5)
     val clusters = Dedup.dupClusters(pairs)
@@ -757,7 +761,7 @@ object DataQueries {
       .select(lined("doc_id"),
         coalesce(col("cluster_id"), lined("doc_id")).as("cluster_id"),
         (lined("doc_id") % 97).cast("double").as("quality"), col("text"))
-    val kept = Dedup.keepBest(scored, "cluster_id", "doc_id", "quality")
+    val kept = Dedup.keepBest(scored, "cluster_id", "doc_id", "quality").persist()
     // dedupLines rewrites text IN PLACE and threads cluster_id/quality through —
     // no re-join of the kept metadata after line dedup (one fewer shuffle join)
     Dedup.dedupLines(kept, "doc_id", "text", minLineChars = 10)
