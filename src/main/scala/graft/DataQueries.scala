@@ -844,6 +844,95 @@ object DataQueries {
       "WHEN han_frac >= arabic_frac THEN 'han' ELSE 'arabic' END AS dominant_script " +
       "FROM f ORDER BY doc_id"
 
+  /** Deterministic mixture resampling: documents downsampled to a target language
+    * mixture (en squeezed, minority langs kept) — rates derived from the corpus's
+    * OWN per-lang counts, so the oracle recomputes the whole chain: counts →
+    * c = min(n/w) → per-lang rate → per-row hash acceptance.
+    */
+  private val qResample: (SparkSession, String) => DataFrame = (spark, dir) => {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val targets = Seq(("en", 0.1), ("de", 0.3), ("fr", 0.3), ("es", 0.2), ("zh", 0.1))
+      .toDF("lang", "w")
+    graft.data.Sampling.resampleToMixture(d, col("doc_id"), col("lang"),
+        targets, "lang", "w")
+      .orderBy("doc_id")
+  }
+  private val qResampleSql = {
+    val frac = "(('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::UBIGINT::DOUBLE / 4503599627370496.0)"
+    "WITH t(s, w) AS (VALUES ('en', 0.1), ('de', 0.3), ('fr', 0.3), ('es', 0.2), ('zh', 0.1)), " +
+      "c AS (SELECT lang AS s, count(*)::DOUBLE AS n FROM documents WHERE lang IS NOT NULL GROUP BY 1), " +
+      "j AS (SELECT c.s, c.n, t.w::DOUBLE AS w FROM c JOIN t ON c.s = t.s WHERE t.w > 0), " +
+      "m AS (SELECT min(n / w) AS c FROM j), " +
+      "r AS (SELECT j.s, m.c * j.w / j.n AS rate FROM j, m) " +
+      "SELECT d.doc_id, d.lang FROM documents d LEFT JOIN r ON d.lang = r.s " +
+      s"WHERE $frac < coalesce(r.rate, 0.0) ORDER BY d.doc_id"
+  }
+
+  /** Concat-and-chunk sequence packing over BPE-ish token counts: chunk index and
+    * in-chunk starting offset for every document at a 1,000-token budget, corpus
+    * order = doc_id. All-long output — the oracle comparison is exact, no rounding.
+    */
+  private val qPack: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("tokens"))
+    graft.data.Sampling.packByBudget(d, "doc_id", "tokens", budget = 1000L)
+      .select(col("doc_id"), col("tokens"), col("pack_id"), col("pack_offset"))
+      .orderBy("doc_id")
+  }
+  private val qPackSql =
+    """WITH t AS (SELECT doc_id, length(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS tokens FROM documents), """ +
+      "c AS (SELECT doc_id, tokens, sum(tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t), " +
+      "s AS (SELECT doc_id, tokens, (cum - tokens)::BIGINT AS start FROM c) " +
+      "SELECT doc_id, tokens, start // 1000 AS pack_id, start - (start // 1000) * 1000 AS pack_offset " +
+      "FROM s ORDER BY doc_id"
+
+  /** Top-3 TF-IDF keywords per document over a quarter-corpus slice; scores are
+    * r6-rounded BEFORE ranking on both sides so rank order is decided on
+    * identical values.
+    */
+  private val qTfidf: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).where(col("doc_id") % 4 === 1)
+    TextAnalysis.tfidfTopK(d, "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+  }
+  private val qTfidfSql =
+    "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1), " +
+      "w AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), x -> length(x) > 0)) AS word FROM d), " +
+      "tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2), " +
+      "dfw AS (SELECT word, count(*) AS df FROM tf GROUP BY 1), " +
+      "n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM d WHERE doc_id IS NOT NULL), " +
+      "s AS (SELECT tf.doc_id, tf.word, round(tf.tf::DOUBLE * ln(n.n / dfw.df::DOUBLE), 6) AS tfidf " +
+      "FROM tf JOIN dfw USING (word), n), " +
+      "r AS (SELECT doc_id, word, tfidf, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS rank FROM s) " +
+      "SELECT doc_id, word, tfidf, rank FROM r WHERE rank <= 3 ORDER BY doc_id, rank"
+
+  /** Graded contamination: per-document fraction of distinct token-8-grams present
+    * in the benchmark slice (doc_id % 50 = 37 — a different slice than the boolean
+    * gates, so the fraction path certifies independently).
+    */
+  private val qDecontamFrac: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val bench = d.where(col("doc_id") % 50 === 37)
+    Decontaminate.ngramOverlapFraction(d, "doc_id", "text", bench, "text", n = 8)
+      .select(col("doc_id"), r6(col("overlap_frac")).as("overlap_frac"))
+      .orderBy("doc_id")
+  }
+  private val qDecontamFracSql =
+    "WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+') AS w FROM documents), " +
+      "bg AS (SELECT DISTINCT g FROM (SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 7, 0)), " +
+      "i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS g FROM tok WHERE doc_id % 50 = 37)), " +
+      "dg AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(w) - 7, 0)), " +
+      "i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS g FROM tok), " +
+      "st AS (SELECT dg.doc_id, count(*) AS tot, count(bg.g) AS hit " +
+      "FROM dg LEFT JOIN bg ON dg.g = bg.g GROUP BY 1) " +
+      "SELECT t.doc_id, " +
+      s"${r6sql("CASE WHEN st.tot IS NULL THEN 0.0 ELSE st.hit::DOUBLE / st.tot::DOUBLE END")} AS overlap_frac " +
+      "FROM tok t LEFT JOIN st USING (doc_id) ORDER BY doc_id"
+
   // ----------------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -877,7 +966,11 @@ object DataQueries {
     "q_curation_chain" -> qCurationChain,
     "q_lm_quality" -> qLmQuality,
     "q_lm_buckets" -> qLmBuckets,
-    "q_script_profile" -> qScriptProfile)
+    "q_script_profile" -> qScriptProfile,
+    "q_resample" -> qResample,
+    "q_pack" -> qPack,
+    "q_tfidf" -> qTfidf,
+    "q_decontam_frac" -> qDecontamFrac)
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
@@ -910,5 +1003,9 @@ object DataQueries {
     "q_curation_chain" -> qCurationChainSql,
     "q_lm_quality" -> qLmQualitySql,
     "q_lm_buckets" -> qLmBucketsSql,
-    "q_script_profile" -> qScriptProfileSql)
+    "q_script_profile" -> qScriptProfileSql,
+    "q_resample" -> qResampleSql,
+    "q_pack" -> qPackSql,
+    "q_tfidf" -> qTfidfSql,
+    "q_decontam_frac" -> qDecontamFracSql)
 }

@@ -153,6 +153,37 @@ object Decontaminate {
       .drop("__graft_hit")
   }
 
+  /** Add double `outCol`: the FRACTION of the document's distinct token
+    * `n`-gram hashes that appear in the benchmark gram set — the graded
+    * complement of [[flagNgramOverlapJoin]]'s boolean, for threshold policies
+    * ("drop above 10% overlap, flag above 1%") and contamination dashboards.
+    * A document with no `n`-grams at all (fewer than `n` tokens, or a null
+    * text/id) can contain nothing and scores 0.0.
+    *
+    * Scale shape (same family as the join path — no driver action, no
+    * broadcast): corpus explodes ONCE to distinct `(id, gram-hash)` pairs, one
+    * shuffle left join against the distinct benchmark grams marks hits (AQE
+    * skew-splits corpus-hot grams), one map-side-combinable groupBy reduces to
+    * `(id, total, hits)`, and one small join re-attaches the fraction.
+    */
+  def ngramOverlapFraction(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8,
+      outCol: String = "overlap_frac"): DataFrame = {
+    val grams = bench
+      .select(explode(tokenNgramHashes(col(benchTextCol), n)).as("__g")).distinct()
+    val docGrams = docs
+      .select(col(idCol), explode(array_distinct(tokenNgramHashes(col(textCol), n))).as("__g"))
+    val stats = docGrams
+      .join(grams.withColumn("__m", lit(1)), Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__tot"), count(col("__m")).as("__hit"))
+    docs.join(stats, Seq(idCol), "left")
+      .withColumn(outCol,
+        when(col("__tot").isNull, lit(0.0))
+          .otherwise(col("__hit").cast("double") / col("__tot")))
+      .drop("__tot", "__hit")
+  }
+
   /** Drop contaminated documents (substring path). */
   def removeContains(docs: DataFrame, textCol: String, bench: DataFrame,
       snippetCol: String): DataFrame = {

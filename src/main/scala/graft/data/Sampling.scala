@@ -85,4 +85,93 @@ object Sampling {
       .where(col("__rk") <= k)
       .drop("__rk")
   }
+
+  /** Downsample-only resampling of the corpus to a TARGET stratum mixture — the
+    * "adjust the language/domain balance of the training set" step (the mixture-
+    * reweighting idea of e.g. DoReMi, arXiv:2305.10429, applied as deterministic
+    * rejection sampling). Given target weights `w_s` per stratum, each stratum is
+    * kept at rate `p_s = c · w_s / n_s` with `c = min_s(n_s / w_s)` — the LARGEST
+    * scaling under which no stratum needs upsampling, so the binding (most
+    * under-represented relative to its target) stratum keeps every row and the
+    * output mixture is proportional to `w` in expectation. Decisions are
+    * per-row hash-deterministic ([[byHash]] semantics), so re-runs, engines, and
+    * incremental re-curations agree row-for-row.
+    *
+    * Rows whose stratum is ABSENT from `targets` (or has weight ≤ 0, or a null
+    * stratum) have target share zero and are dropped — resampling to a mixture
+    * that excludes a stratum excludes its rows. NULL sampling keys follow
+    * `nullKeys` within kept strata.
+    *
+    * Scale shape: one map-side-combinable groupBy on the stratum for counts
+    * (output cardinality = #strata), an inner join of that small frame with
+    * `targets`, ONE scalar driver action for `c` (an `agg(min(...))` — bounded by
+    * construction), then a broadcast-or-shuffle join of the per-stratum rate back
+    * onto the corpus (AQE picks; #strata ≪ corpus either way). The corpus itself
+    * is never collected and shuffles only for the rate join — and that join is a
+    * broadcast when the stratum table fits, i.e. no corpus shuffle at all.
+    *
+    * @param targets frame of `(stratumCol, weightCol)` — relative weights, need
+    *        not sum to 1; duplicate strata must not appear (first match would be
+    *        nondeterministic — enforced with a distinct-count require).
+    */
+  def resampleToMixture(df: DataFrame, key: Column, stratum: Column,
+      targets: DataFrame, stratumCol: String, weightCol: String,
+      nullKeys: NullKeys = NullKeys.Keep): DataFrame = {
+    val t = targets.select(col(stratumCol).as("__s"),
+        col(weightCol).cast("double").as("__w"))
+      .where(col("__s").isNotNull && col("__w") > 0.0)
+    val counts = df.groupBy(stratum.as("__s")).agg(count(lit(1)).cast("double").as("__n"))
+      .where(col("__s").isNotNull)
+    val joined = counts.join(t, Seq("__s")).persist()
+    try {
+      // c = min(n/w): one scalar to the driver (bounded — one row per stratum
+      // reduced to a single double). Duplicate target strata would make the rate
+      // join nondeterministic; detect via count vs distinct-count on the joined frame.
+      val row = joined.agg(min(col("__n") / col("__w")).as("c"),
+        count(lit(1)).as("rows"), countDistinct(col("__s")).as("strata")).head()
+      if (row.getLong(1) != row.getLong(2))
+        throw new IllegalArgumentException("targets has duplicate stratum rows")
+      if (row.isNullAt(0)) return df.where(lit(false)) // no stratum meets a positive target
+      val c = row.getDouble(0)
+      // rate_s = c * w_s / n_s ≤ 1 by construction of c (exact same arithmetic
+      // shape — literal-times-column divided by column — as the DuckDB oracle)
+      val rates = joined.select(col("__s"), (lit(c) * col("__w") / col("__n")).as("__rate"))
+      df.join(rates, stratum === col("__s"), "left")
+        .where(totalHashFraction(key, nullKeys) < coalesce(col("__rate"), lit(0.0)))
+        .drop("__s", "__rate")
+    } finally joined.unpersist()
+  }
+
+  /** Concat-and-chunk sequence packing — the LLM-pretraining step that assigns
+    * every document to the fixed-size training chunk its FIRST token lands in
+    * when the corpus is concatenated in `orderCol` order and split every `budget`
+    * tokens. Emits `packCol` (the chunk index, 0-based) and `offsetCol` (the
+    * document's starting token offset within that chunk); a document longer than
+    * the remaining chunk space simply straddles into subsequent chunks, exactly
+    * as the concatenated token stream does.
+    *
+    * Scale shape: the global running token sum rides [[graft.web.PrefixAgg]]'s
+    * two-level prefix scan — NO single-partition window over the corpus (the one
+    * construct that cannot survive a scale-up); everything after the prefix sum
+    * is a pure projection. Token counts are integers, so the double-typed prefix
+    * sums are EXACT below 2^53 total tokens (≈9·10¹⁵ — beyond any corpus) and
+    * order-of-combination does not matter.
+    *
+    * Null `tokensCol` values count as 0 tokens (the row occupies a position but
+    * no space); `orderCol` must be a unique total order (document ids).
+    */
+  def packByBudget(df: DataFrame, orderCol: String, tokensCol: String, budget: Long,
+      packCol: String = "pack_id", offsetCol: String = "pack_offset"): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    import graft.web.PrefixAgg
+    import graft.web.PrefixAgg.{Op, RunningSpec}
+    val tok = "__graft_pack_tok"
+    val cum = "__graft_pack_cum"
+    val withTok = df.withColumn(tok, coalesce(col(tokensCol).cast("double"), lit(0.0)))
+    PrefixAgg.running(withTok, Seq(orderCol), Seq(RunningSpec(Op.Sum, tok, cum)))
+      .withColumn("__start", (coalesce(col(cum), lit(0.0)) - col(tok)).cast("long"))
+      .withColumn(packCol, expr(s"__start div ${budget}L"))
+      .withColumn(offsetCol, col("__start") - col(packCol) * budget)
+      .drop(tok, cum, "__start")
+  }
 }

@@ -243,6 +243,40 @@ object TextAnalysis {
     df.select(explode(wordTokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
 
+  /** Top-`k` TF-IDF keywords per document — the classic per-doc salient-term
+    * extraction (tf · ln(N/df) over [[wordTokens]]), used for corpus topic
+    * dashboards and keyword-conditioned filtering. Returns one row per kept
+    * `(id, word)` with the r6-ROUNDED score (rounded BEFORE ranking so the
+    * cross-engine rank order is decided on identical values) and the 1-based
+    * rank; ties break word-ascending. Documents with no tokens emit no rows.
+    *
+    * Scale shape: one explode + map-side-combinable groupBy to per-doc term
+    * counts, one groupBy on the word for document frequencies, the corpus-size
+    * scalar attached via a broadcast crossJoin of a 1-row aggregate (lazy — no
+    * driver action), one shuffle join back on the word (AQE skew-splits
+    * stopword-hot words), and a per-doc window over the doc's OWN terms only.
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int,
+      wordOut: String = "word", scoreOut: String = "tfidf",
+      rankOut: String = "rank"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = df
+      .select(col(idCol), explode(wordTokens(col(textCol))).as(wordOut))
+      .groupBy(col(idCol), col(wordOut)).agg(count(lit(1)).as("__tf"))
+    val dfw = tf.groupBy(col(wordOut)).agg(count(lit(1)).as("__df"))
+    val n = df.where(col(idCol).isNotNull)
+      .agg(countDistinct(col(idCol)).cast("double").as("__n"))
+    val scored = tf.join(dfw, Seq(wordOut))
+      .crossJoin(broadcast(n))
+      .withColumn(scoreOut,
+        round(col("__tf").cast("double") * log(col("__n") / col("__df").cast("double")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col(scoreOut).desc, col(wordOut).asc)
+    scored.withColumn(rankOut, row_number().over(w))
+      .where(col(rankOut) <= k)
+      .select(col(idCol), col(wordOut), col(scoreOut), col(rankOut))
+  }
+
   /** Convenience: attach all analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

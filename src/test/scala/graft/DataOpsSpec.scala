@@ -800,4 +800,99 @@ class DataOpsSpec extends SparkTestBase {
       corpus.where(lit(false)), "text_md5")
     assert(noCorpus.count() == 5) // only the internal dup (id 3) drops
   }
+
+  test("mixture resampling hits the target proportions and keeps the binding stratum whole") {
+    import spark.implicits._
+    // 3000 en / 600 de / 400 fr, ids disjoint per stratum so decisions are independent
+    val rows = (0L until 3000L).map(i => (i, "en")) ++
+      (10000L until 10600L).map(i => (i, "de")) ++
+      (20000L until 20400L).map(i => (i, "fr"))
+    val d = rows.toDF("id", "s")
+    val targets = Seq(("en", 0.25), ("de", 0.5), ("fr", 0.25)).toDF("s", "w")
+    val kept = Sampling.resampleToMixture(d, col("id"), col("s"), targets, "s", "w")
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // c = min(3000/0.25, 600/0.5, 400/0.25) = 600/0.5 = 1200 → de keeps ALL 600,
+    // en targets 300, fr targets 300 (hash noise within a few percent)
+    assert(kept("de") == 600L, s"binding stratum must keep every row, got $kept")
+    assert(math.abs(kept("en") - 300L) < 60, s"en ~300 expected, got $kept")
+    assert(math.abs(kept("fr") - 300L) < 60, s"fr ~300 expected, got $kept")
+    // stratum absent from targets → dropped entirely
+    val extra = d.unionByName(Seq((30000L, "zz")).toDF("id", "s"))
+    assert(Sampling.resampleToMixture(extra, col("id"), col("s"), targets, "s", "w")
+      .where(col("s") === "zz").count() == 0)
+    // decisions are hash-deterministic: repartitioning changes nothing
+    val a = Sampling.resampleToMixture(d, col("id"), col("s"), targets, "s", "w")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.resampleToMixture(d.repartition(13), col("id"), col("s"), targets, "s", "w")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // duplicate target rows are rejected loudly
+    val dupT = targets.unionByName(Seq(("en", 0.1)).toDF("s", "w"))
+    intercept[IllegalArgumentException] {
+      Sampling.resampleToMixture(d, col("id"), col("s"), dupT, "s", "w").count()
+    }
+  }
+
+  test("packByBudget matches a sequential concat-and-chunk reference") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val toks = (0L until 500L).map(i =>
+      (i, if (i % 97 == 13) null.asInstanceOf[java.lang.Long]
+          else java.lang.Long.valueOf(rng.nextInt(400).toLong)))
+    val d = toks.toDF("id", "tok")
+    val budget = 256L
+    val got = Sampling.packByBudget(d.repartition(7), "id", "tok", budget)
+      .select("id", "pack_id", "pack_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // sequential reference: running start offset over id order, nulls = 0 tokens
+    var start = 0L
+    val want = toks.sortBy(_._1).map { case (i, t) =>
+      val me = (i, start / budget, start % budget)
+      start += (if (t == null) 0L else t.longValue())
+      me
+    }
+    assert(got.toSeq == want, s"first diff: ${got.toSeq.zip(want).find(p => p._1 != p._2)}")
+    assert(got.forall(r => r._3 >= 0 && r._3 < budget))
+  }
+
+  test("tfidfTopK scores and ranks match a hand computation") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "apple banana apple"),   // apple tf=2, banana tf=1
+      (2L, "banana cherry"),
+      (3L, "cherry durian durian durian")
+    ).toDF("id", "text")
+    val got = TextAnalysis.tfidfTopK(d, "id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    def s(tf: Int, df: Int) = math.floor(tf * math.log(3.0 / df) * 1e6 + 0.5) / 1e6
+    // doc1: apple 2*ln(3/1), banana 1*ln(3/2); doc2: banana/cherry both 1*ln(3/2) → tie, word asc
+    val want = Seq(
+      (1L, "apple", s(2, 1), 1), (1L, "banana", s(1, 2), 2),
+      (2L, "banana", s(1, 2), 1), (2L, "cherry", s(1, 2), 2),
+      (3L, "durian", s(3, 1), 1), (3L, "cherry", s(1, 2), 2))
+    assert(got.toSeq == want, got.mkString(", "))
+  }
+
+  test("ngram overlap fraction is graded and agrees with the boolean flag") {
+    import spark.implicits._
+    val w = (0 until 40).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, w),                                    // the benchmark doc itself → 1.0
+      (2L, w.split(" ").take(15).mkString(" ") + " zz " + (100 to 120).map("u" + _).mkString(" ")), // partial overlap
+      (3L, (200 to 240).map("v" + _).mkString(" ")), // disjoint → 0.0
+      (4L, "too short"),                          // < 8 tokens → no grams → 0.0
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val bench = Seq(w).toDF("text")
+    val frac = Decontaminate.ngramOverlapFraction(d, "id", "text", bench, "text")
+      .select("id", "overlap_frac")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(frac(1L) == 1.0)
+    assert(frac(2L) > 0.0 && frac(2L) < 1.0, frac.toString)
+    assert(frac(3L) == 0.0 && frac(4L) == 0.0 && frac(5L) == 0.0)
+    val flags = Decontaminate.flagNgramOverlapJoin(d, "id", "text", bench, "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("contaminated"))).toMap
+    assert(frac.forall { case (id, f) => (f > 0.0) == flags(id) })
+  }
 }
