@@ -933,6 +933,36 @@ object DataQueries {
       s"${r6sql("CASE WHEN st.tot IS NULL THEN 0.0 ELSE st.hit::DOUBLE / st.tot::DOUBLE END")} AS overlap_frac " +
       "FROM tok t LEFT JOIN st USING (doc_id) ORDER BY doc_id"
 
+  /** Lee-et-al-style duplicated-span fraction at token-8-gram granularity, with a
+    * shared sentence planted on every 10th doc so cross-doc span duplication is
+    * guaranteed present; the oracle recomputes counts, the dup-gram set, and the
+    * per-doc interval union in SQL.
+    */
+  private val qDupSpans: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" the quick brown fox jumps over the lazy dog again")))
+          .otherwise(col("text")).as("text"))
+    Dedup.dupSpanFraction(d, "doc_id", "text", n = 8)
+      .select(col("doc_id"), r6(col("dup_span_frac")).as("dup_span_frac"))
+      .orderBy("doc_id")
+  }
+  private val qDupSpansSql =
+    "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0 " +
+      "THEN text || ' the quick brown fox jumps over the lazy dog again' ELSE text END AS text FROM documents), " +
+      "tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+') AS w FROM d), " +
+      "g AS (SELECT doc_id, unnest(generate_series(1, greatest(len(w) - 7, 0))) - 1 AS pos, " +
+      "unnest(list_transform(generate_series(1, greatest(len(w) - 7, 0)), " +
+      "i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS gr FROM tok), " +
+      "dup AS (SELECT gr FROM (SELECT gr, count(*) AS c FROM g GROUP BY 1) WHERE c > 1), " +
+      "dp AS (SELECT g.doc_id, g.pos FROM g JOIN dup ON g.gr = dup.gr), " +
+      "cov AS (SELECT doc_id, sum(CASE WHEN nxt IS NULL THEN 8 ELSE least(8, nxt - pos) END) AS covered " +
+      "FROM (SELECT doc_id, pos, lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM dp) GROUP BY 1) " +
+      "SELECT tok.doc_id, " +
+      s"${r6sql("CASE WHEN cov.covered IS NULL OR len(tok.w) <= 0 THEN 0.0 ELSE cov.covered::DOUBLE / len(tok.w)::DOUBLE END")} AS dup_span_frac " +
+      "FROM tok LEFT JOIN cov USING (doc_id) ORDER BY doc_id"
+
   // ----------------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -970,7 +1000,8 @@ object DataQueries {
     "q_resample" -> qResample,
     "q_pack" -> qPack,
     "q_tfidf" -> qTfidf,
-    "q_decontam_frac" -> qDecontamFrac)
+    "q_decontam_frac" -> qDecontamFrac,
+    "q_dup_spans" -> qDupSpans)
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
@@ -1007,5 +1038,6 @@ object DataQueries {
     "q_resample" -> qResampleSql,
     "q_pack" -> qPackSql,
     "q_tfidf" -> qTfidfSql,
-    "q_decontam_frac" -> qDecontamFracSql)
+    "q_decontam_frac" -> qDecontamFracSql,
+    "q_dup_spans" -> qDupSpansSql)
 }

@@ -177,6 +177,51 @@ object Dedup {
   def minhashSignature(text: Column, k: Int, numHashes: Int): Column =
     hashfns.minhashSignature(text, k, numHashes)
 
+  /** Per-document duplicated-SPAN fraction — the corpus-level exact-substring
+    * dedup signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499), at token-`n`-gram granularity
+    * instead of a distributed suffix array: the fraction of a document's token
+    * positions covered by some `n`-gram that occurs MORE THAN ONCE in the whole
+    * corpus (elsewhere or repeated within the document). The standard policy is
+    * `where(dup_span_frac < cut)` or routing high-fraction docs to span removal.
+    *
+    * Scale shape: explode to positioned gram hashes; ONE map-side-combinable
+    * groupBy counts gram occurrences; only grams with count > 1 survive the
+    * filter (rare by construction), so the decision semi-join back onto the
+    * positioned grams carries a small build side; covered-position arithmetic is
+    * the classic sorted-interval union — a per-document window over that doc's
+    * OWN dup-gram positions only (`lead(pos)` caps each gram's contribution at
+    * the gap to the next), never a corpus-wide sort. Documents with fewer than
+    * `n` tokens (or null text/id) have no spans and score 0.0.
+    */
+  def dupSpanFraction(df: DataFrame, idCol: String, textCol: String, n: Int = 50,
+      outCol: String = "dup_span_frac"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = TextAnalysis.wordTokens(col(textCol))
+    val grams = df.select(col(idCol), posexplode(
+        when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+          .otherwise(array().cast("array<bigint>"))))
+      .toDF(idCol, "__pos", "__g")
+    val dupG = grams.groupBy(col("__g")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1).select(col("__g"))
+    val dupPos = grams.join(dupG, Seq("__g"), "left_semi")
+    val win = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val covered = dupPos
+      .withColumn("__next", lead(col("__pos"), 1).over(win))
+      .withColumn("__cov",
+        when(col("__next").isNull, lit(n.toLong))
+          .otherwise(least(lit(n.toLong), col("__next") - col("__pos"))))
+      .groupBy(col(idCol)).agg(sum(col("__cov")).as("__covered"))
+    df.withColumn("__ntok", size(toks).cast("long"))
+      .join(covered, Seq(idCol), "left")
+      .withColumn(outCol,
+        when(col("__covered").isNull || col("__ntok") <= 0, lit(0.0))
+          .otherwise(col("__covered").cast("double") / col("__ntok")))
+      .drop("__ntok", "__covered")
+  }
+
   /** MinHash + LSH banding near-dup candidate pairs, exact-verified.
     *
     * @return (idA, idB, jaccard) with idA < idB and exact shingle-jaccard ≥ threshold.

@@ -874,6 +874,32 @@ class DataOpsSpec extends SparkTestBase {
     assert(got.toSeq == want, got.mkString(", "))
   }
 
+  test("dupSpanFraction covers exactly the positions under corpus-repeated n-grams") {
+    import spark.implicits._
+    // n=3 over tiny docs: "a b c d e" shares the 3-gram "a b c"/"b c d"... with doc 2
+    val d = Seq(
+      (1L, "a b c d e u1 u2 u3"),        // grams at pos 0..5; pos 0,1,2 dup (shared with doc 2)
+      (2L, "x y a b c d e z"),            // shares "a b c", "b c d", "c d e"
+      (3L, "p q r s t"),                  // unique
+      (4L, "m m m m m"),                  // self-repeated gram "m m m" (pos 0..2 dup)
+      (5L, "one two"),                    // < n tokens → 0.0
+      (6L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = Dedup.dupSpanFraction(d, "id", "text", n = 3)
+      .select("id", "dup_span_frac")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc1: 8 tokens; dup grams start at 0,1,2 ("a b c","b c d","c d e") →
+    // union covers positions 0..4 = 5 tokens → 5/8
+    assert(math.abs(got(1L) - 5.0 / 8) < 1e-12, got.toString)
+    // doc2: 8 tokens; dup grams start at 2,3,4 → cover 2..6 = 5 → 5/8
+    assert(math.abs(got(2L) - 5.0 / 8) < 1e-12, got.toString)
+    assert(got(3L) == 0.0)
+    // doc4: "m m m" occurs at 0,1,2 (count 3 > 1) → covers 0..4 = all 5 → 1.0
+    assert(got(4L) == 1.0, got.toString)
+    assert(got(5L) == 0.0 && got(6L) == 0.0)
+    assert(Dedup.dupSpanFraction(d, "id", "text", n = 3).count() == 6)
+  }
+
   test("ngram overlap fraction is graded and agrees with the boolean flag") {
     import spark.implicits._
     val w = (0 until 40).map(i => s"w$i").mkString(" ")
