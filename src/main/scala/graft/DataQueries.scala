@@ -878,7 +878,9 @@ object DataQueries {
     val d = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("tokens"))
-    graft.data.Sampling.packByBudget(d, "doc_id", "tokens", budget = 1000L)
+    // numRanges = 16 like q_global_cum: exercises cross-range offset arithmetic
+    // without paying 256 near-empty range tasks at gate scale
+    graft.data.Sampling.packByBudget(d, "doc_id", "tokens", budget = 1000L, numRanges = 16)
       .select(col("doc_id"), col("tokens"), col("pack_id"), col("pack_offset"))
       .orderBy("doc_id")
   }

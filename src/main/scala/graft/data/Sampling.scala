@@ -161,14 +161,16 @@ object Sampling {
     * no space); `orderCol` must be a unique total order (document ids).
     */
   def packByBudget(df: DataFrame, orderCol: String, tokensCol: String, budget: Long,
-      packCol: String = "pack_id", offsetCol: String = "pack_offset"): DataFrame = {
+      packCol: String = "pack_id", offsetCol: String = "pack_offset",
+      numRanges: Int = 0): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     import graft.web.PrefixAgg
     import graft.web.PrefixAgg.{Op, RunningSpec}
     val tok = "__graft_pack_tok"
     val cum = "__graft_pack_cum"
     val withTok = df.withColumn(tok, coalesce(col(tokensCol).cast("double"), lit(0.0)))
-    PrefixAgg.running(withTok, Seq(orderCol), Seq(RunningSpec(Op.Sum, tok, cum)))
+    PrefixAgg.running(withTok, Seq(orderCol), Seq(RunningSpec(Op.Sum, tok, cum)),
+        numRanges = numRanges)
       .withColumn("__start", (coalesce(col(cum), lit(0.0)) - col(tok)).cast("long"))
       .withColumn(packCol, expr(s"__start div ${budget}L"))
       .withColumn(offsetCol, col("__start") - col(packCol) * budget)
