@@ -965,6 +965,79 @@ object DataQueries {
       s"${r6sql("CASE WHEN cov.covered IS NULL OR len(tok.w) <= 0 THEN 0.0 ELSE cov.covered::DOUBLE / len(tok.w)::DOUBLE END")} AS dup_span_frac " +
       "FROM tok LEFT JOIN cov USING (doc_id) ORDER BY doc_id"
 
+  /** Host-graph PageRank over a deterministic 21-node graph derived from the
+    * documents table: each doc contributes an edge source → 'src'||floor(md5-
+    * fraction(doc_id)·21) — multi-edges weight naturally, and node 'src20' never
+    * appears as a source, so the dangling-mass redistribution path is exercised.
+    * `roundEachIter` keeps the 5 power iterations bit-comparable with the
+    * oracle's unrolled-CTE recomputation (same association order per term).
+    */
+  private val qPageRank: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val edges = d.select(col("source").as("src"),
+      concat(lit("src"), floor(graft.data.Sampling.hashFraction(col("doc_id")) * 21)
+        .cast("int").cast("string")).as("dst"))
+    graft.web.HostGraph.pageRank(edges, "src", "dst", iters = 5, roundEachIter = true)
+      .select(col("host"), r6(col("rank")).as("rank"))
+      .orderBy("host")
+  }
+  private val qPageRankSql: String = {
+    val frac = "(('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::UBIGINT::DOUBLE / 4503599627370496.0)"
+    def rr(e: String) = s"floor(($e) * 1000000 + 0.5) / 1000000"
+    val iters = 5
+    val sb = new StringBuilder
+    sb.append("WITH e AS (SELECT source AS src, 'src' || CAST(floor(" + frac + " * 21) AS INT) AS dst " +
+      "FROM documents WHERE source IS NOT NULL AND doc_id IS NOT NULL), ")
+    sb.append("w AS (SELECT src, dst, count(*)::DOUBLE AS w FROM e GROUP BY 1, 2), ")
+    sb.append("od AS (SELECT src, sum(w) AS od FROM w GROUP BY 1), ")
+    sb.append("t AS (SELECT w.src, w.dst, w.w / od.od AS p FROM w JOIN od USING (src)), ")
+    sb.append("nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e), ")
+    sb.append("n AS (SELECT count(*)::DOUBLE AS n FROM nodes), ")
+    sb.append(s"r0 AS (SELECT host, ${rr("1.0::DOUBLE / n.n")} AS rank FROM nodes, n), ")
+    for (k <- 1 to iters) {
+      val p = s"r${k - 1}"
+      sb.append(s"d$k AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM $p " +
+        "WHERE host NOT IN (SELECT src FROM od)), ")
+      sb.append(s"c$k AS (SELECT t.dst AS host, sum(t.p * r.rank) AS c " +
+        s"FROM t JOIN $p r ON t.src = r.host GROUP BY 1), ")
+      // EXACT association order of the engine: ((1-d)/n + d*dm/n) + d*coalesce(c)
+      val e = "(1.0::DOUBLE - 0.85::DOUBLE) / n.n + 0.85::DOUBLE * dk.dm / n.n " +
+        "+ 0.85::DOUBLE * coalesce(c.c, 0.0)"
+      sb.append(s"r$k AS (SELECT nd.host, ${rr(e)} AS rank " +
+        s"FROM nodes nd CROSS JOIN n CROSS JOIN d$k dk LEFT JOIN c$k c ON c.host = nd.host)" +
+        (if (k < iters) ", " else " "))
+    }
+    sb.append(s"SELECT host, ${r6sql("rank")} AS rank FROM r$iters ORDER BY host")
+    sb.toString
+  }
+
+  /** DSIR importance log-weights with target = English docs, 1024 hash buckets;
+    * the oracle re-estimates both bucket distributions and rescores in SQL.
+    */
+  private val qDsir: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    graft.data.Sampling.dsirLogWeights(d, "doc_id", "text", col("lang") === "en",
+        numBuckets = 1024)
+      .select(col("doc_id"), r6(col("dsir_logw")).as("dsir_logw"))
+      .orderBy("doc_id")
+  }
+  private val qDsirSql: String = {
+    val wfrac = "(('0x' || substr(md5(w), 1, 13))::UBIGINT::DOUBLE / 4503599627370496.0)"
+    "WITH tok AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt, " +
+      "unnest(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), x -> length(x) > 0)) AS w " +
+      "FROM documents), " +
+      s"tb AS (SELECT doc_id, tgt, CAST(floor($wfrac * 1024) AS INT) AS b FROM tok), " +
+      "cnt AS (SELECT b, sum(tgt)::DOUBLE AS tc, count(*)::DOUBLE AS rc FROM tb GROUP BY 1), " +
+      "tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM cnt), " +
+      "lr AS (SELECT b, floor(ln(((tc + 1.0::DOUBLE) / (tt + 1024.0::DOUBLE)) / " +
+      "((rc + 1.0::DOUBLE) / (rt + 1024.0::DOUBLE))) * 1000000 + 0.5) / 1000000 AS lr FROM cnt, tot), " +
+      "pd AS (SELECT tb.doc_id, sum(lr.lr) AS s FROM tb JOIN lr USING (b) GROUP BY 1) " +
+      "SELECT d.doc_id, " +
+      s"${r6sql("coalesce(pd.s, 0.0)")} AS dsir_logw " +
+      "FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN pd USING (doc_id) ORDER BY doc_id"
+  }
+
   // ----------------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1003,7 +1076,9 @@ object DataQueries {
     "q_pack" -> qPack,
     "q_tfidf" -> qTfidf,
     "q_decontam_frac" -> qDecontamFrac,
-    "q_dup_spans" -> qDupSpans)
+    "q_dup_spans" -> qDupSpans,
+    "q_pagerank" -> qPageRank,
+    "q_dsir" -> qDsir)
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
@@ -1041,5 +1116,7 @@ object DataQueries {
     "q_pack" -> qPackSql,
     "q_tfidf" -> qTfidfSql,
     "q_decontam_frac" -> qDecontamFracSql,
-    "q_dup_spans" -> qDupSpansSql)
+    "q_dup_spans" -> qDupSpansSql,
+    "q_pagerank" -> qPageRankSql,
+    "q_dsir" -> qDsirSql)
 }

@@ -176,4 +176,58 @@ object Sampling {
       .withColumn(offsetCol, col("__start") - col(packCol) * budget)
       .drop(tok, cum, "__start")
   }
+
+  /** DSIR-style importance log-weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", arXiv:2302.03169): score every document by
+    * how target-like its hashed word-feature distribution is,
+    *
+    *   logw(doc) = Σ_{token t ∈ doc} ln( p̂_target(bucket(t)) / p̂_raw(bucket(t)) )
+    *
+    * with add-`smoothing` estimated bucket distributions (target = rows matching
+    * `targetPred`; raw = ALL rows) over `numBuckets` hash buckets. Resampling is
+    * then a separate policy choice (top-k by weight, or Gumbel top-k) — this
+    * operator produces the score, the expensive distributed part.
+    *
+    * Scale shape: token bucketing is a pure projection ([[hashFraction]] of the
+    * word — deterministic and engine-portable, unlike a seeded murmur); the two
+    * distributions come from ONE groupBy over ≤`numBuckets` keys with map-side
+    * partial aggregation; the bucket→log-ratio table (≤`numBuckets` rows) joins
+    * back via broadcast; the per-doc sum is one groupBy(id). Nothing driver-side,
+    * no step grows with corpus size beyond the token explode every bag-of-words
+    * operator pays.
+    *
+    * Cross-engine exactness: `numBuckets` must be a power of two ≤ 2^52 so
+    * `floor(hashFraction(w)·B)` is exact in doubles; each bucket's log-ratio is
+    * floored to 6 decimals BEFORE the per-doc sum, so another engine (the DuckDB
+    * oracle) summing identical rounded terms in any order lands within one ULP —
+    * round the final sum to compare. Docs with no tokens (or null text) score 0.
+    */
+  def dsirLogWeights(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, numBuckets: Int = 1024, smoothing: Double = 1.0,
+      weightOut: String = "dsir_logw"): DataFrame = {
+    require(numBuckets >= 2 && (numBuckets & (numBuckets - 1)) == 0,
+      s"numBuckets must be a power of two >= 2, got $numBuckets")
+    require(smoothing > 0.0, s"smoothing must be > 0, got $smoothing")
+    val b = numBuckets.toDouble
+    def r6(c: Column) = floor(c * 1e6 + 0.5) / 1e6
+
+    val toks = df
+      .select(col(idCol), targetPred.as("__tgt"),
+        explode(TextAnalysis.wordTokens(col(textCol))).as("__w"))
+      .withColumn("__b", floor(hashFraction(col("__w")) * b).cast("int"))
+      .drop("__w")
+    val counts = toks.groupBy("__b").agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tc"),
+      count(lit(1)).as("__rc"))
+    val totals = counts.agg(sum("__tc").as("__tt"), sum("__rc").as("__rt"))
+    val logRatio = counts.crossJoin(broadcast(totals))
+      .select(col("__b"), r6(
+        log(((col("__tc") + smoothing) / (col("__tt") + smoothing * b)) /
+            ((col("__rc") + smoothing) / (col("__rt") + smoothing * b)))).as("__lr"))
+    val perDoc = toks.join(broadcast(logRatio), Seq("__b"))
+      .groupBy(col(idCol)).agg(sum("__lr").as("__sum"))
+    df.select(col(idCol)).distinct()
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__sum"), lit(0.0)).as(weightOut))
+  }
 }

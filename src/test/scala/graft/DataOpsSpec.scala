@@ -921,4 +921,87 @@ class DataOpsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("contaminated"))).toMap
     assert(frac.forall { case (id, f) => (f > 0.0) == flags(id) })
   }
+
+  test("pageRank matches a sequential power iteration, incl. dangling + multi-edges") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // 12 nodes, ~60 random edges with repeats; nodes 10 and 11 are dst-only (dangling)
+    val edges = (0 until 60).map { _ =>
+      (s"h${rng.nextInt(10)}", s"h${rng.nextInt(12)}")
+    }
+    val got = graft.web.HostGraph.pageRank(edges.toDF("s", "d").repartition(5),
+        "s", "d", iters = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    // sequential reference
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val w = edges.groupBy(identity).map { case (e, g) => e -> g.size.toDouble }
+    val outDeg = w.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 8) {
+      val dm = nodes.filterNot(outDeg.contains).map(rank).sum
+      rank = nodes.map { v =>
+        val in = w.collect { case ((s, d), ww) if d == v => rank(s) * ww / outDeg(s) }.sum
+        v -> (0.15 / n + 0.85 * (in + dm / n))
+      }.toMap
+    }
+    assert(got.keySet == rank.keySet)
+    nodes.foreach(v => assert(math.abs(got(v) - rank(v)) < 1e-9, s"$v: ${got(v)} vs ${rank(v)}"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"total rank ${got.values.sum}")
+  }
+
+  test("pageRank at iters=0 is uniform; empty edge list yields empty output") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "c")).toDF("s", "d")
+    val r0 = graft.web.HostGraph.pageRank(e, "s", "d", iters = 0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(r0.keySet == Set("a", "b", "c") && r0.values.forall(v => math.abs(v - 1.0 / 3) < 1e-12))
+    val empty = e.where(lit(false))
+    assert(graft.web.HostGraph.pageRank(empty, "s", "d", iters = 3).count() == 0)
+  }
+
+  test("dsirLogWeights matches a sequential recompute and scores target-like docs higher") {
+    import spark.implicits._
+    val target = "alpha beta gamma delta alpha beta"
+    val offtgt = "omega psi chi phi omega psi"
+    val d = Seq(
+      (1L, target, "en"), (2L, target + " alpha", "en"), (3L, offtgt, "fr"),
+      (4L, offtgt + " chi", "fr"), (5L, "alpha beta omega", "fr"),
+      (6L, "", "en"), (7L, null.asInstanceOf[String], "fr")
+    ).toDF("id", "text", "lang")
+    val b = 1024
+    val got = Sampling.dsirLogWeights(d.repartition(3), "id", "text",
+        col("lang") === "en", numBuckets = b)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // sequential reference (same md5 bucketing via the engine itself, scalar math here)
+    def words(t: String): Seq[String] =
+      if (t == null) Nil
+      else t.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+    val bucketOf = Seq("alpha", "beta", "gamma", "delta", "omega", "psi", "chi", "phi")
+      .toDF("w").select(col("w"),
+        floor(Sampling.hashFraction(col("w")) * b).cast("int").as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val rows = Seq((1L, target, true), (2L, target + " alpha", true), (3L, offtgt, false),
+      (4L, offtgt + " chi", false), (5L, "alpha beta omega", false), (6L, "", true),
+      (7L, null.asInstanceOf[String], false))
+    val allToks = rows.flatMap { case (_, t, tgt) => words(t).map(w => (bucketOf(w), tgt)) }
+    val tc = allToks.filter(_._2).groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val rc = allToks.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val tt = allToks.count(_._2).toDouble; val rt = allToks.size.toDouble
+    def lr(bk: Int): Double = {
+      val v = math.log(((tc.getOrElse(bk, 0.0) + 1.0) / (tt + b)) / ((rc(bk) + 1.0) / (rt + b)))
+      math.floor(v * 1e6 + 0.5) / 1e6
+    }
+    val want = rows.map { case (id, t, _) => id -> words(t).map(w => lr(bucketOf(w))).sum }.toMap
+    rows.foreach { case (id, _, _) =>
+      assert(math.abs(got(id) - want(id)) < 1e-9, s"$id: ${got(id)} vs ${want(id)}")
+    }
+    assert(got(6L) == 0.0 && got(7L) == 0.0)
+    // direction: target-vocabulary docs outscore off-target ones (absolute sign is
+    // smoothing-dependent at toy scale — only the ordering is meaningful)
+    assert(got(1L) > got(5L) && got(5L) > got(3L),
+      s"direction: ${got(1L)} / ${got(5L)} / ${got(3L)}")
+  }
 }
