@@ -1038,6 +1038,39 @@ object DataQueries {
       "FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN pd USING (doc_id) ORDER BY doc_id"
   }
 
+  /** DSIR's selection step: Gumbel top-50 over the q_dsir weights. The oracle
+    * recomputes the full score pipeline plus the hash-derived Gumbel noise.
+    */
+  private val qDsirSelect: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val scored = graft.data.Sampling.dsirLogWeights(d, "doc_id", "text",
+      col("lang") === "en", numBuckets = 1024)
+    graft.data.Sampling.gumbelTopK(scored, "doc_id", "dsir_logw", k = 50)
+      .select(col("doc_id"), r6(col("dsir_logw")).as("dsir_logw"),
+        r6(col("gumbel_key")).as("gumbel_key"))
+      .orderBy("doc_id")
+  }
+  private val qDsirSelectSql: String = {
+    val wfrac = "(('0x' || substr(md5(w), 1, 13))::UBIGINT::DOUBLE / 4503599627370496.0)"
+    val idm = "('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::UBIGINT::DOUBLE"
+    "WITH tok AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt, " +
+      "unnest(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), x -> length(x) > 0)) AS w " +
+      "FROM documents), " +
+      s"tb AS (SELECT doc_id, tgt, CAST(floor($wfrac * 1024) AS INT) AS b FROM tok), " +
+      "cnt AS (SELECT b, sum(tgt)::DOUBLE AS tc, count(*)::DOUBLE AS rc FROM tb GROUP BY 1), " +
+      "tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM cnt), " +
+      "lr AS (SELECT b, floor(ln(((tc + 1.0::DOUBLE) / (tt + 1024.0::DOUBLE)) / " +
+      "((rc + 1.0::DOUBLE) / (rt + 1024.0::DOUBLE))) * 1000000 + 0.5) / 1000000 AS lr FROM cnt, tot), " +
+      "pd AS (SELECT tb.doc_id, sum(lr.lr) AS s FROM tb JOIN lr USING (b) GROUP BY 1), " +
+      "scored AS (SELECT d.doc_id, coalesce(pd.s, 0.0) AS logw, " +
+      s"coalesce(pd.s, 0.0) + floor(-ln(-ln((($idm) + 0.5) / 4503599627370496.0)) * 1000000 + 0.5) / 1000000 AS gkey " +
+      "FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)), " +
+      "top AS (SELECT * FROM scored ORDER BY gkey DESC NULLS LAST, doc_id ASC LIMIT 50) " +
+      s"SELECT doc_id, ${r6sql("logw")} AS dsir_logw, ${r6sql("gkey")} AS gumbel_key " +
+      "FROM top ORDER BY doc_id"
+  }
+
   // ----------------------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1078,7 +1111,8 @@ object DataQueries {
     "q_decontam_frac" -> qDecontamFrac,
     "q_dup_spans" -> qDupSpans,
     "q_pagerank" -> qPageRank,
-    "q_dsir" -> qDsir)
+    "q_dsir" -> qDsir,
+    "q_dsir_select" -> qDsirSelect)
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
@@ -1118,5 +1152,6 @@ object DataQueries {
     "q_decontam_frac" -> qDecontamFracSql,
     "q_dup_spans" -> qDupSpansSql,
     "q_pagerank" -> qPageRankSql,
-    "q_dsir" -> qDsirSql)
+    "q_dsir" -> qDsirSql,
+    "q_dsir_select" -> qDsirSelectSql)
 }

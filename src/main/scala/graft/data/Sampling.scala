@@ -230,4 +230,32 @@ object Sampling {
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__sum"), lit(0.0)).as(weightOut))
   }
+
+  /** The selection step DSIR pairs with [[dsirLogWeights]]: Gumbel top-k sampling
+    * without replacement — keep the k rows maximizing `logw + Gumbel(u)`, which
+    * draws a k-subset with probability proportional to the softmax of the weights
+    * (Vieira 2014's Gumbel-max trick, applied top-k). The Gumbel variate is
+    * derived from the row's own hash ([[hashFraction]] shifted to the bin center,
+    * `u = (m + 0.5)/2^52`, so u ∈ (0,1) and no log(0)), which keeps selection
+    * deterministic across runs, engines, and repartitions — same property as
+    * every sampler here; the noise is floored to 6 decimals so another engine's
+    * libm agrees bit-for-bit on the sort key.
+    *
+    * Scale shape: pure projection + global top-k, which Spark executes as
+    * per-partition top-k merged on the driver (TakeOrdered) — k rows to the
+    * driver, no global sort shuffle. Ties (equal keys) break by id ascending.
+    * Null ids or null weights sort last (never selected while ≥k real rows
+    * qualify).
+    */
+  def gumbelTopK(df: DataFrame, idCol: String, logwCol: String, k: Int,
+      keyOut: String = "gumbel_key"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def r6(c: Column) = floor(c * 1e6 + 0.5) / 1e6
+    val m = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10).cast("double")
+    val u = (m + 0.5) / 4503599627370496.0 // 2^52
+    val gumbel = r6(-log(-log(u)))
+    df.withColumn(keyOut, col(logwCol) + gumbel)
+      .orderBy(col(keyOut).desc_nulls_last, col(idCol).asc_nulls_last)
+      .limit(k)
+  }
 }

@@ -33,4 +33,14 @@ object UrlOps {
         when(size(keptParams) > 0, concat(lit("?"), array_join(keptParams, "&")))
           .otherwise(lit(""))))
   }
+
+  /** Lowercased registered host of an absolute URL (authority minus userinfo and
+    * port) — the node key for host-graph operators ([[HostGraph]]) and domain
+    * caps. Scheme-less / relative / unparseable inputs yield NULL, so graph
+    * builders drop them instead of clustering them under "". */
+  def hostOf(u: Column): Column = {
+    val host = lower(regexp_extract(u,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1))
+    when(host === "", lit(null)).otherwise(host)
+  }
 }

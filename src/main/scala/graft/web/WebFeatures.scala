@@ -94,6 +94,16 @@ object WebFeatures {
       contentType: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     stripTags(graft.functions.textfns.decodeCharset(html, graft.web.WarcSource.charsetOf(contentType)))
 
+  /** All outlink targets of a raw `html` BINARY page: href values of anchor tags,
+    * in document order, fragment-only links dropped. Pure codegen (charset-safe
+    * decode + regexp_extract_all) — feeds [[UrlOps.hostOf]] → [[HostGraph.pageRank]]
+    * to build the host-centrality curation prior straight off a crawl. */
+  def extractLinks(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(
+      regexp_extract_all(graft.functions.textfns.decodeCharset(html, lit("")),
+        lit("(?is)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"'#][^\"']*)[\"']"), lit(1)),
+      l => length(l) > 0)
+
   private def stripTags(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val body = regexp_extract(s, "(?s)<body[^>]*>(.*)</body>", 1)
     regexp_replace(body, "(?s)<[^>]*>", "")

@@ -1004,4 +1004,23 @@ class DataOpsSpec extends SparkTestBase {
     assert(got(1L) > got(5L) && got(5L) > got(3L),
       s"direction: ${got(1L)} / ${got(5L)} / ${got(3L)}")
   }
+
+  test("gumbelTopK: deterministic hash-Gumbel selection, repartition-invariant") {
+    import spark.implicits._
+    val d = (0L until 200L).map(i => (i, (i % 17).toDouble / 10.0)).toDF("id", "logw")
+    val a = Sampling.gumbelTopK(d, "id", "logw", k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1).toSeq
+    val b = Sampling.gumbelTopK(d.repartition(13), "id", "logw", k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(a == b && a.size == 25)
+    // keys really are logw + r6(gumbel(hashFraction-bin-center)) — recompute one
+    val expected = d.select(col("id"), (col("logw") +
+        floor(-log(-log((conv(substring(md5(col("id").cast("string")), 1, 13), 16, 10)
+          .cast("double") + 0.5) / 4503599627370496.0)) * 1e6 + 0.5) / 1e6).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    a.foreach { case (id, key) => assert(key == expected(id), s"$id") }
+    // and the selected set IS the global top-25 of those keys
+    val top = expected.toSeq.sortBy { case (id, k) => (-k, id) }.take(25).map(_._1).toSet
+    assert(a.map(_._1).toSet == top)
+  }
 }

@@ -590,4 +590,44 @@ class WebSpec extends SparkTestBase {
       .collect().map(_.url).sorted.toSeq
     assert(salvaged == (0 until 39).map(i => s"http://ex.test/p$i").sorted.toSeq)
   }
+
+  test("extractLinks + hostOf: anchor hrefs out of raw html, composed into pageRank") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://a.test/1",
+        """<html><body><p>x</p><a href="https://B.test/page">b</a>
+          |<A HREF='https://c.test/z?q=1'>c</A><a href="#frag">self</a>
+          |<a data-x="1" href="https://b.test/other">b2</a></body></html>""".stripMargin),
+      ("https://b.test/1", """<a href="https://c.test/1">c</a>"""),
+      ("https://c.test/1", """<div>no links</div>""")
+    ).toDF("url", "htmlStr")
+      .withColumn("html", encode(col("htmlStr"), "UTF-8"))
+
+    val links = pages.select(col("url"),
+        explode(WebFeatures.extractLinks(col("html"))).as("href"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(links == Set(
+      ("https://a.test/1", "https://B.test/page"),
+      ("https://a.test/1", "https://c.test/z?q=1"),
+      ("https://a.test/1", "https://b.test/other"),
+      ("https://b.test/1", "https://c.test/1")), links.toString)
+
+    // hostOf: lowercases, strips port/userinfo, null for relative urls
+    val hosts = Seq("https://B.test/page", "http://u:p@x.test:8080/a", "/rel", "nohost")
+      .toDF("u").select(UrlOps.hostOf(col("u"))).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(hosts == Seq("b.test", "x.test", null, null))
+
+    // the composed crawl chain: html -> links -> host edges -> pageRank
+    val edges = pages.select(UrlOps.hostOf(col("url")).as("src"),
+      explode(WebFeatures.extractLinks(col("html"))).as("href"))
+      .select(col("src"), UrlOps.hostOf(col("href")).as("dst"))
+    val ranks = HostGraph.pageRank(edges, "src", "dst", iters = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ranks.keySet == Set("a.test", "b.test", "c.test"))
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9)
+    // c.test is linked by both others and links only onward to b... rank order:
+    // c (2 in-edges) > b (1 in-edge + dangling share) > a (dangling share only)
+    assert(ranks("c.test") > ranks("b.test") && ranks("b.test") > ranks("a.test"), ranks.toString)
+  }
 }
