@@ -977,7 +977,8 @@ object DataQueries {
     val edges = d.select(col("source").as("src"),
       concat(lit("src"), floor(graft.data.Sampling.hashFraction(col("doc_id")) * 21)
         .cast("int").cast("string")).as("dst"))
-    graft.web.HostGraph.pageRank(edges, "src", "dst", iters = 5, roundEachIter = true)
+    graft.web.HostGraph.pageRank(edges, "src", "dst", iters = 5, roundEachIter = true,
+        numPartitions = 8) // 21-node graph: default 256 would be all empty tasks
       .select(col("host"), r6(col("rank")).as("rank"))
       .orderBy("host")
   }

@@ -25,11 +25,17 @@ import org.apache.spark.storage.StorageLevel
   *     hash-partitioned on `src` so every iteration's contribution join reuses
   *     the same partitioning; ranks are repartitioned to match, so the
   *     per-iteration shuffle moves only the N-row rank frame, never the edges.
-  *   - per iteration: one join + one groupBy(dst) aggregation, plus ONE driver
-  *     scalar (the dangling mass — a single double; bounded at any scale).
-  *   - iterative lineage is cut by persisting each rank frame and unpersisting
-  *     its predecessor; `checkpointEvery` additionally localCheckpoints to keep
-  *     the plan itself from growing on long runs.
+  *   - per iteration: one join + one groupBy(dst) aggregation; the dangling
+  *     mass rides as a broadcast 1-row aggregate (no per-iteration driver
+  *     collect of graph state).
+  *   - each iteration's rank frame is EAGERLY localCheckpointed — the successor
+  *     references it twice (dangling aggregate + contribution join), so without
+  *     the cut the logical plan doubles per iteration (exponential analysis
+  *     cost); the checkpoint caps the plan at constant depth and bounds the
+  *     per-iteration job to the N-row rank frame. (localCheckpoint trades
+  *     executor-loss recoverability for speed — the standard choice for
+  *     iterative graph state; a lost executor restarts the run from the last
+  *     durable input, exactly like GraphX/Pregel jobs.)
   *   - hot hosts (every crawl has a few) skew the groupBy(dst); AQE's skew
   *     handling applies, and contributions are pre-aggregated map-side.
   *
@@ -43,14 +49,22 @@ object HostGraph {
   /** @param edges   edge list; null src/dst rows are dropped
     * @param iters   fixed iteration count (power iteration; callers wanting a
     *                convergence test can compare successive outputs)
+    * @param numPartitions partition count for the transition/rank frames; 0 =
+    *   `spark.sql.shuffle.partitions`. Size to the NODE count (hosts — orders of
+    *   magnitude smaller than the edge list): a 21-node gate graph under 256
+    *   default partitions pays thousands of empty iteration tasks for nothing.
     * @return (host, rank) — one row per distinct node, Σ rank = 1
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
       damping: Double = 0.85, roundEachIter: Boolean = false,
-      checkpointEvery: Int = 0): DataFrame = {
+      numPartitions: Int = 0): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(damping >= 0.0 && damping <= 1.0, s"damping must be in [0,1], got $damping")
+    require(numPartitions >= 0, s"numPartitions must be >= 0, got $numPartitions")
     val spark = edges.sparkSession
+    def byKey(df: DataFrame, key: String): DataFrame =
+      if (numPartitions > 0) df.repartition(numPartitions, col(key))
+      else df.repartition(col(key))
     def r6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
     def rnd(c: org.apache.spark.sql.Column) = if (roundEachIter) r6(c) else c
 
@@ -63,7 +77,7 @@ object HostGraph {
     val outDeg = w.groupBy("src").agg(sum("w").as("od"))
     val trans = w.join(outDeg, "src")
       .select(col("src"), col("dst"), (col("w") / col("od")).as("p"))
-      .repartition(col("src"))
+      .transform(t => byKey(t, "src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host"))).distinct()
@@ -75,33 +89,32 @@ object HostGraph {
     }
     // nodes WITH out-edges; a rank row absent from this set is dangling
     val srcNodes = outDeg.select(col("src").as("host"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var ranks = nodes.select(col("host"), rnd(lit(1.0 / n)).as("rank"))
-      .repartition(col("host")).persist(StorageLevel.MEMORY_AND_DISK)
-    var prev: DataFrame = null
-    for (i <- 1 to iters) {
-      val danglingMass = ranks.join(srcNodes, Seq("host"), "left_anti")
-        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+    // Each iteration ends in an EAGER localCheckpoint: the successor references
+    // the rank frame twice (dangling aggregate + contribution join), so without
+    // the cut the logical plan doubles per iteration — exponential analysis cost
+    // (a K=8 run OOMs in plan stringification alone). The checkpoint both caps
+    // the plan and materializes the N-row frame, so each iteration is one small
+    // job over checkpointed state; the dangling mass rides inside it as a
+    // broadcast 1-row aggregate, never a driver collect.
+    var ranks = byKey(nodes.select(col("host"), rnd(lit(1.0 / n)).as("rank")), "host")
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val dmF = ranks.join(srcNodes, Seq("host"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
       val contrib = trans.join(ranks, trans("src") === ranks("host"))
         .groupBy(col("dst").as("host"))
         .agg(sum(col("p") * col("rank")).as("c"))
-      val base = (1.0 - damping) / n + damping * danglingMass / n
-      var next = nodes.join(contrib, Seq("host"), "left")
+      // association order mirrored verbatim by the oracle: (1-d)/n + d*dm/n + d*c
+      ranks = byKey(nodes.join(contrib, Seq("host"), "left")
+        .crossJoin(broadcast(dmF))
         .select(col("host"),
-          rnd(lit(base) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
-        .repartition(col("host"))
-      if (checkpointEvery > 0 && i % checkpointEvery == 0) next = next.localCheckpoint(false)
-      next = next.persist(StorageLevel.MEMORY_AND_DISK)
-      if (prev != null) prev.unpersist()
-      prev = ranks
-      ranks = next
+          rnd(lit((1.0 - damping) / n) + lit(damping) * col("__dm") / lit(n)
+            + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank")), "host")
+        .localCheckpoint()
     }
-    // materialize the result, then release every intermediate persist — the
-    // returned frame stays cached (callers running it repeatedly get the hit;
-    // unpersist() it when done)
-    ranks.count()
-    trans.unpersist(); nodes.unpersist()
-    if (prev != null) prev.unpersist()
+    trans.unpersist(); nodes.unpersist(); srcNodes.unpersist()
     ranks
   }
 }
