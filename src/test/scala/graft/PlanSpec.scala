@@ -215,4 +215,32 @@ class PlanSpec extends SparkTestBase {
         s"band join carries vectors: $names")
     }
   }
+
+  test("pageRank returns checkpointed state — result plan is constant-size in iters") {
+    import spark.implicits._
+    val edges = (0 until 200).map(i => (s"h${i % 9}", s"h${(i * 7) % 11}")).toDF("s", "d")
+    def planLines(iters: Int): Int =
+      graft.web.HostGraph.pageRank(edges, "s", "d", iters)
+        .queryExecution.optimizedPlan.toString.linesIterator.size
+    val p2 = planLines(2); val p6 = planLines(6)
+    // each iteration references the previous rank frame TWICE; without the eager
+    // per-iteration cut the plan doubles per iteration (2^k — a K=8 run OOM'd in
+    // plan stringification before the fix). Checkpointed state keeps it flat.
+    assert(p2 == p6, s"plan grew with iterations: $p2 lines @2 vs $p6 @6")
+    assert(p6 < 10, s"expected a leaf-sized checkpointed plan, got $p6 lines")
+  }
+
+  test("dsir log-ratio table joins back via broadcast, never a shuffle of the tokens") {
+    import spark.implicits._
+    val d = (0L until 300L).map(i => (i, s"w${i % 40} w${i % 7} w${i % 13}", if (i % 3 == 0) "en" else "fr"))
+      .toDF("id", "text", "lang")
+    val out = graft.data.Sampling.dsirLogWeights(d, "id", "text", col("lang") === "en")
+    val p = plan(out)
+    assert(p.linesIterator.exists(l => l.contains("BroadcastHashJoin") && l.contains("__b")),
+      s"expected broadcast join of the log-ratio table on the bucket key:\n$p")
+    // the token stream must never shuffle on the bucket key (the id-keyed final
+    // left join is the one legitimate shuffle join)
+    assert(!p.linesIterator.exists(l => l.contains("SortMergeJoin") && l.contains("__b")),
+      s"token-side shuffle join crept in:\n$p")
+  }
 }
