@@ -1065,7 +1065,7 @@ object DataQueries {
       "((rc + 1.0::DOUBLE) / (rt + 1024.0::DOUBLE))) * 1000000 + 0.5) / 1000000 AS lr FROM cnt, tot), " +
       "pd AS (SELECT tb.doc_id, sum(lr.lr) AS s FROM tb JOIN lr USING (b) GROUP BY 1), " +
       "scored AS (SELECT d.doc_id, coalesce(pd.s, 0.0) AS logw, " +
-      s"coalesce(pd.s, 0.0) + floor(-ln(-ln((($idm) + 0.5) / 4503599627370496.0)) * 1000000 + 0.5) / 1000000 AS gkey " +
+      s"floor((coalesce(pd.s, 0.0) + floor(-ln(-ln((($idm) + 0.5) / 4503599627370496.0)) * 1000000 + 0.5) / 1000000) * 1000000 + 0.5) / 1000000 AS gkey " +
       "FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)), " +
       "top AS (SELECT * FROM scored ORDER BY gkey DESC NULLS LAST, doc_id ASC LIMIT 50) " +
       s"SELECT doc_id, ${r6sql("logw")} AS dsir_logw, ${r6sql("gkey")} AS gumbel_key " +

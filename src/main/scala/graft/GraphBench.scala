@@ -36,8 +36,9 @@ object GraphBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Zipf-ish in-link skew: dst drawn as floor(hosts * u^4) concentrates ~24% of
-    // all in-links on the hottest 1% of hosts; src is uniform. Deterministic.
+    // Zipf-ish in-link skew: dst drawn as floor(hosts * u^4) concentrates
+    // P(u < 0.01^(1/4)) ≈ 31.6% of all in-links on the hottest 1% of hosts;
+    // src is uniform. Deterministic.
     val dir = s"${sys.props("java.io.tmpdir")}/graft_graph_bench_${nEdges}_$nHosts"
     if (!new java.io.File(s"$dir/_READY").exists()) {
       val u = pmod(xxhash64(col("id"), lit(1)), lit(1000000)).cast("double") / 1e6
@@ -53,8 +54,9 @@ object GraphBench {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
     // warmup (JIT + codegen for the whole operator)
-    HostGraph.pageRank(edges, "src", "dst", iters = 1).unpersist()
-    val (_, t1) = timed(HostGraph.pageRank(edges, "src", "dst", iters = 1))
+    HostGraph.release(HostGraph.pageRank(edges, "src", "dst", iters = 1))
+    val (r1, t1) = timed(HostGraph.pageRank(edges, "src", "dst", iters = 1))
+    HostGraph.release(r1)
     val (r5, t5) = timed(HostGraph.pageRank(edges, "src", "dst", iters = 5))
     val perIter = (t5 - t1) / 4.0
     println(f"[graphbench] pagerank edges=$nEdges hosts=$nHosts " +

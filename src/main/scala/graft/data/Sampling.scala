@@ -209,7 +209,7 @@ object Sampling {
       s"numBuckets must be a power of two >= 2, got $numBuckets")
     require(smoothing > 0.0, s"smoothing must be > 0, got $smoothing")
     val b = numBuckets.toDouble
-    def r6(c: Column) = floor(c * 1e6 + 0.5) / 1e6
+    import graft.functions.rounding.r6
 
     val toks = df
       .select(col(idCol), targetPred.as("__tgt"),
@@ -238,8 +238,10 @@ object Sampling {
     * derived from the row's own hash ([[hashFraction]] shifted to the bin center,
     * `u = (m + 0.5)/2^52`, so u ∈ (0,1) and no log(0)), which keeps selection
     * deterministic across runs, engines, and repartitions — same property as
-    * every sampler here; the noise is floored to 6 decimals so another engine's
-    * libm agrees bit-for-bit on the sort key.
+    * every sampler here; the noise AND the final key are floored to 6 decimals,
+    * so another engine's libm (and any summation order behind `logwCol`) agrees
+    * bit-for-bit on the sort key and ties resolve by the id tie-break
+    * identically everywhere.
     *
     * Scale shape: pure projection + global top-k, which Spark executes as
     * per-partition top-k merged on the driver (TakeOrdered) — k rows to the
@@ -250,11 +252,17 @@ object Sampling {
   def gumbelTopK(df: DataFrame, idCol: String, logwCol: String, k: Int,
       keyOut: String = "gumbel_key"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    def r6(c: Column) = floor(c * 1e6 + 0.5) / 1e6
-    val m = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10).cast("double")
-    val u = (m + 0.5) / 4503599627370496.0 // 2^52
+    import graft.functions.rounding.r6
+    // u = (m + 0.5)/2^52 == hashFraction + 2^-53 EXACTLY ((2m+1)/2^53 with
+    // 2m+1 < 2^53 — every term representable), so the hash contract lives in
+    // one place ([[hashFraction]]) and this stays the bin-center shift
+    val u = hashFraction(col(idCol)) + lit(0.5 / 4503599627370496.0) // + 2^-53
     val gumbel = r6(-log(-log(u)))
-    df.withColumn(keyOut, col(logwCol) + gumbel)
+    // the SORT KEY itself is r6-floored: logw is a float SUM whose last ULP
+    // depends on aggregation order, so an unrounded key could order two
+    // nominally-tied rows differently across engines/repartitions right at the
+    // k boundary; on the 1e-6 grid ties are exact and the id tie-break decides
+    df.withColumn(keyOut, r6(col(logwCol) + gumbel))
       .orderBy(col(keyOut).desc_nulls_last, col(idCol).asc_nulls_last)
       .limit(k)
   }

@@ -65,8 +65,8 @@ object HostGraph {
     def byKey(df: DataFrame, key: String): DataFrame =
       if (numPartitions > 0) df.repartition(numPartitions, col(key))
       else df.repartition(col(key))
-    def r6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
-    def rnd(c: org.apache.spark.sql.Column) = if (roundEachIter) r6(c) else c
+    def rnd(c: org.apache.spark.sql.Column) =
+      if (roundEachIter) graft.functions.rounding.r6(c) else c
 
     val e = edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
@@ -79,8 +79,10 @@ object HostGraph {
       .select(col("src"), col("dst"), (col("w") / col("od")).as("p"))
       .transform(t => byKey(t, "src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("host"))
-      .union(e.select(col("dst").as("host"))).distinct()
+    // nodes partitioned on host ONCE: every iteration's left join reuses this
+    // side's partitioning instead of re-exchanging it
+    val nodes = byKey(e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host"))).distinct(), "host")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count().toDouble
     if (n == 0) {
@@ -107,14 +109,28 @@ object HostGraph {
         .groupBy(col("dst").as("host"))
         .agg(sum(col("p") * col("rank")).as("c"))
       // association order mirrored verbatim by the oracle: (1-d)/n + d*dm/n + d*c
-      ranks = byKey(nodes.join(contrib, Seq("host"), "left")
+      val next = byKey(nodes.join(contrib, Seq("host"), "left")
         .crossJoin(broadcast(dmF))
         .select(col("host"),
           rnd(lit((1.0 - damping) / n) + lit(damping) * col("__dm") / lit(n)
             + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank")), "host")
         .localCheckpoint()
+      // `next` is materialized (eager checkpoint) — the superseded iteration's
+      // blocks can go NOW. Dataset.unpersist can't free them (checkpoint RDDs
+      // aren't in the CacheManager), so release the backing RDD directly.
+      release(ranks)
+      ranks = next
     }
     trans.unpersist(); nodes.unpersist(); srcNodes.unpersist()
     ranks
   }
+
+  /** Free the checkpointed blocks behind a frame [[pageRank]] returned (a plain
+    * `unpersist()` is a silent no-op for locally-checkpointed state — the RDD is
+    * not registered in the CacheManager). Call when done with the ranks; without
+    * it the blocks live until the ContextCleaner GCs the dataset. */
+  def release(ranks: DataFrame): Unit =
+    ranks.queryExecution.logical.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 }

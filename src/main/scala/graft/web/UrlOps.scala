@@ -36,11 +36,13 @@ object UrlOps {
 
   /** Lowercased registered host of an absolute URL (authority minus userinfo and
     * port) — the node key for host-graph operators ([[HostGraph]]) and domain
-    * caps. Scheme-less / relative / unparseable inputs yield NULL, so graph
-    * builders drop them instead of clustering them under "". */
+    * caps. Bracketed IPv6 authorities keep their brackets as the key (the colon
+    * inside is part of the address, not a port separator). Scheme-less /
+    * relative / unparseable inputs yield NULL, so graph builders drop them
+    * instead of clustering them under "". */
   def hostOf(u: Column): Column = {
     val host = lower(regexp_extract(u,
-      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1))
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]/?#]+\\]|[^/?#:]+)", 1))
     when(host === "", lit(null)).otherwise(host)
   }
 }

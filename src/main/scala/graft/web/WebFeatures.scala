@@ -97,11 +97,17 @@ object WebFeatures {
   /** All outlink targets of a raw `html` BINARY page: href values of anchor tags,
     * in document order, fragment-only links dropped. Pure codegen (charset-safe
     * decode + regexp_extract_all) — feeds [[UrlOps.hostOf]] → [[HostGraph.pageRank]]
-    * to build the host-centrality curation prior straight off a crawl. */
+    * to build the host-centrality curation prior straight off a crawl. Quoted
+    * href values only (single or double) — unquoted attributes, a pre-HTML5
+    * relic, are deliberately out of scope; for graph building the recall loss is
+    * negligible and the regex stays single-group (regexp_extract_all's limit). */
   def extractLinks(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     filter(
+      // `(?:[^>]*?\s)?href` — href must sit at an attribute boundary (start of the
+      // attribute list or after whitespace), so data-href / xlink:href never match
+      // and can't shadow the real href later in the same tag
       regexp_extract_all(graft.functions.textfns.decodeCharset(html, lit("")),
-        lit("(?is)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"'#][^\"']*)[\"']"), lit(1)),
+        lit("(?is)<a\\s(?:[^>]*?\\s)?href\\s*=\\s*[\"']([^\"'#][^\"']*)[\"']"), lit(1)),
       l => length(l) > 0)
 
   private def stripTags(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

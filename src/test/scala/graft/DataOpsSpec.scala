@@ -1014,9 +1014,9 @@ class DataOpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1).toSeq
     assert(a == b && a.size == 25)
     // keys really are logw + r6(gumbel(hashFraction-bin-center)) — recompute one
-    val expected = d.select(col("id"), (col("logw") +
+    val expected = d.select(col("id"), (floor((col("logw") +
         floor(-log(-log((conv(substring(md5(col("id").cast("string")), 1, 13), 16, 10)
-          .cast("double") + 0.5) / 4503599627370496.0)) * 1e6 + 0.5) / 1e6).as("k"))
+          .cast("double") + 0.5) / 4503599627370496.0)) * 1e6 + 0.5) / 1e6) * 1e6 + 0.5) / 1e6).as("k"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     a.foreach { case (id, key) => assert(key == expected(id), s"$id") }
     // and the selected set IS the global top-25 of those keys

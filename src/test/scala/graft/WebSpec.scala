@@ -598,7 +598,8 @@ class WebSpec extends SparkTestBase {
         """<html><body><p>x</p><a href="https://B.test/page">b</a>
           |<A HREF='https://c.test/z?q=1'>c</A><a href="#frag">self</a>
           |<a data-x="1" href="https://b.test/other">b2</a></body></html>""".stripMargin),
-      ("https://b.test/1", """<a href="https://c.test/1">c</a>"""),
+      ("https://b.test/1",
+        """<a data-href="https://phantom.test/x" href="https://c.test/1">c</a>"""),
       ("https://c.test/1", """<div>no links</div>""")
     ).toDF("url", "htmlStr")
       .withColumn("html", encode(col("htmlStr"), "UTF-8"))
@@ -612,11 +613,13 @@ class WebSpec extends SparkTestBase {
       ("https://a.test/1", "https://b.test/other"),
       ("https://b.test/1", "https://c.test/1")), links.toString)
 
-    // hostOf: lowercases, strips port/userinfo, null for relative urls
-    val hosts = Seq("https://B.test/page", "http://u:p@x.test:8080/a", "/rel", "nohost")
+    // hostOf: lowercases, strips port/userinfo, keeps IPv6 brackets whole,
+    // null for relative urls
+    val hosts = Seq("https://B.test/page", "http://u:p@x.test:8080/a",
+        "https://[2001:DB8::1]:8443/p", "/rel", "nohost")
       .toDF("u").select(UrlOps.hostOf(col("u"))).collect().map(r =>
         if (r.isNullAt(0)) null else r.getString(0)).toSeq
-    assert(hosts == Seq("b.test", "x.test", null, null))
+    assert(hosts == Seq("b.test", "x.test", "[2001:db8::1]", null, null))
 
     // the composed crawl chain: html -> links -> host edges -> pageRank
     val edges = pages.select(UrlOps.hostOf(col("url")).as("src"),
