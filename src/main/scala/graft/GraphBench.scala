@@ -53,11 +53,19 @@ object GraphBench {
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
-    // warmup (JIT + codegen for the whole operator)
+    // warmup (JIT + codegen for the whole operator), then best-of-2 per level —
+    // the per-iteration figure is a DIFFERENCE of two wall times, so a single
+    // noisy run at either level can make it meaningless on a shared host
     HostGraph.release(HostGraph.pageRank(edges, "src", "dst", iters = 1))
-    val (r1, t1) = timed(HostGraph.pageRank(edges, "src", "dst", iters = 1))
+    def bestOf2(iters: Int): (org.apache.spark.sql.DataFrame, Double) = {
+      val (ra, ta) = timed(HostGraph.pageRank(edges, "src", "dst", iters))
+      val (rb, tb) = timed(HostGraph.pageRank(edges, "src", "dst", iters))
+      if (ta <= tb) { HostGraph.release(rb); (ra, ta) }
+      else { HostGraph.release(ra); (rb, tb) }
+    }
+    val (r1, t1) = bestOf2(1)
     HostGraph.release(r1)
-    val (r5, t5) = timed(HostGraph.pageRank(edges, "src", "dst", iters = 5))
+    val (r5, t5) = bestOf2(5)
     val perIter = (t5 - t1) / 4.0
     println(f"[graphbench] pagerank edges=$nEdges hosts=$nHosts " +
       f"build+1iter=${t1}%.2fs 5iter=${t5}%.2fs perIter=${perIter}%.2fs " +
