@@ -75,9 +75,13 @@ object HostGraph {
     // transition probabilities, built once; partitioned on src for join reuse
     val w = e.groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w"))
     val outDeg = w.groupBy("src").agg(sum("w").as("od"))
-    val trans = w.join(outDeg, "src")
-      .select(col("src"), col("dst"), (col("w") / col("od")).as("p"))
-      .transform(t => byKey(t, "src"))
+    // partitioned AND sorted on src once: when the rank frame is too big to
+    // broadcast (10⁸-host graphs) the per-iteration join is a sort-merge on
+    // src — the cached frame's ordering means only the N-row rank side ever
+    // sorts, never the edge-sized transition matrix
+    val trans = byKey(w.join(outDeg, "src")
+        .select(col("src"), col("dst"), (col("w") / col("od")).as("p")), "src")
+      .sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     // nodes partitioned on host ONCE: every iteration's left join reuses this
     // side's partitioning instead of re-exchanging it
