@@ -29,5 +29,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Polars-parity float semantics (NaN/Inf, no arithmetic errors); Spark 4 defaults
   // ANSI on, which turns zero-variance corr / div-by-zero into exceptions.
   "-Dspark.sql.ansi.enabled=false",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 20g default (was 8g): the bench's concurrent headline jobs sort ~3.5M
+  // wide rows across 32 local executor threads; at 8g the execution pool
+  // (~4.6g) sits one eviction storm away from the G1 thrash mode BASELINE.md
+  // round 6 documents (gc_ms 15k, every headline run slow). Parameterised —
+  // cluster deployments size executor heaps via spark-submit, not this knob.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
 )

@@ -47,11 +47,12 @@ object Decontaminate {
     */
   def tokenNgramHashes(text: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val w = TextAnalysis.wordTokens(text)
-    when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n),
-        i => xxhash64(concat_ws(" ", slice(w, i + lit(1), lit(n))))))
-      .otherwise(array().cast("array<bigint>"))
+    // r7: one codegen'd kernel pass (split + rolling UTF-8 gram hash) instead of
+    // the transform/slice/concat_ws/xxhash64 array-HOF chain — bit-identical
+    // hashes (same Java-regex split, same XXH64 seed 42 over the same bytes; see
+    // graft.functions.TokenNgramHashes), no per-gram array slices. Spark's
+    // `lower` stays outside the kernel so its collation semantics are untouched.
+    graft.functions.hashfns.tokenNgramHashes(lower(text), n)
   }
 
   /** Add boolean `outCol`: does the document contain ANY benchmark snippet as an

@@ -198,11 +198,10 @@ object Dedup {
       outCol: String = "dup_span_frac"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val toks = TextAnalysis.wordTokens(col(textCol))
-    val grams = df.select(col(idCol), posexplode(
-        when(size(toks) >= n,
-          transform(sequence(lit(0), size(toks) - n),
-            i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
-          .otherwise(array().cast("array<bigint>"))))
+    // r7: same single-pass gram-hash kernel as Decontaminate.tokenNgramHashes
+    // (bit-identical to the transform/slice/concat_ws/xxhash64 chain it replaces)
+    val grams = df.select(col(idCol),
+        posexplode(Decontaminate.tokenNgramHashes(col(textCol), n)))
       .toDF(idCol, "__pos", "__g")
     val dupG = grams.groupBy(col("__g")).agg(count(lit(1)).as("__c"))
       .where(col("__c") > 1).select(col("__g"))

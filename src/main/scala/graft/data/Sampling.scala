@@ -1,6 +1,7 @@
 package graft.data
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines. `df.sample()` draws from an
@@ -35,8 +36,10 @@ object Sampling {
     * policy (see [[NullKeys]]).
     */
   def hashFraction(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 13), 16, 10).cast("double") /
-      4503599627370496.0 // 2^52
+    // one codegen'd digest per row — bit-identical to the portable formula
+    // conv(substring(md5(key::string), 1, 13), 16, 10)::DOUBLE / 2^52 (the r7
+    // kernel swap; see graft.functions.Md5Fraction for the equivalence argument)
+    graft.functions.hashfns.md5Fraction(key.cast("string"))
 
   /** Sampling decision made total per the null policy: `Keep` maps a null key to
     * fraction 0.0 (kept at any rate > 0, dropped only at rate 0); `Drop` maps it to
@@ -219,8 +222,18 @@ object Sampling {
     val counts = toks.groupBy("__b").agg(
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tc"),
       count(lit(1)).as("__rc"))
-    val totals = counts.agg(sum("__tc").as("__tt"), sum("__rc").as("__rt"))
-    val logRatio = counts.crossJoin(broadcast(totals))
+    // totals ride a global window over `counts` — bounded at ≤ numBuckets rows by
+    // construction, so the single-partition window is safe at any corpus size.
+    // The r6 chain computed them as a separate agg + crossJoin(broadcast(totals)),
+    // which made the nested broadcast builds run the token explode THREE times
+    // per query (totals build, logRatio build, per-doc pass — guide §2.4); this
+    // shape runs it twice, the DSIR estimate/score minimum. Long sums are exact,
+    // so the window-vs-agg totals are bit-identical.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val logRatio = counts
+      .withColumn("__tt", sum("__tc").over(wAll))
+      .withColumn("__rt", sum("__rc").over(wAll))
       .select(col("__b"), r6(
         log(((col("__tc") + smoothing) / (col("__tt") + smoothing * b)) /
             ((col("__rc") + smoothing) / (col("__rt") + smoothing * b)))).as("__lr"))

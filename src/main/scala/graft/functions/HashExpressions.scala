@@ -64,6 +64,83 @@ object HashKernels {
   def simhash64U8(s: UTF8String): Long = simhash64(s.toString)
   def rollingFingerprintU8(s: UTF8String): Long = rollingFingerprint(s.toString)
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val wordSplit = java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]+")
+
+  private val emptyLongs =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(new Array[Long](0))
+  def emptyLongArray(): org.apache.spark.sql.catalyst.util.ArrayData = emptyLongs
+
+  /** All token `n`-gram xxhash64 values of an ALREADY-LOWERCASED text, in token
+    * order — bit-identical to the Catalyst chain
+    * `transform(sequence(0, size(w)-n), i -> xxhash64(concat_ws(" ", slice(w, i+1, n))))`
+    * over `w = filter(split(text, "[^\p{L}\p{N}]+"), length > 0)`: the same Java
+    * regex splits the tokens (Spark's `split` delegates to java.util.regex), and
+    * the hash is Spark's XXH64(seed=42) over the UTF-8 bytes of the space-joined
+    * gram (UTF-8 concatenation == concatenation of UTF-8, so the gram string is
+    * never materialized). One pass, no per-gram array slices or UTF8String
+    * allocations. Fewer than `n` tokens (or null text at the caller) → empty.
+    */
+  def tokenNgramHashesU8(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val raw = wordSplit.split(s.toString, -1)
+    var m = 0
+    var i = 0
+    while (i < raw.length) { if (!raw(i).isEmpty) { raw(m) = raw(i); m += 1 }; i += 1 }
+    if (m < n) return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(new Array[Long](0))
+    val tokBytes = new Array[Array[Byte]](m)
+    i = 0
+    while (i < m) { tokBytes(i) = raw(i).getBytes(java.nio.charset.StandardCharsets.UTF_8); i += 1 }
+    var maxLen = n - 1
+    i = 0
+    var winLen = n - 1
+    while (i < m) {
+      winLen += tokBytes(i).length
+      if (i >= n) winLen -= tokBytes(i - n).length
+      if (i >= n - 1 && winLen > maxLen) maxLen = winLen
+      i += 1
+    }
+    val buf = new Array[Byte](maxLen)
+    val out = new Array[Long](m - n + 1)
+    var g = 0
+    while (g <= m - n) {
+      var pos = 0
+      var j = 0
+      while (j < n) {
+        if (j > 0) { buf(pos) = ' '; pos += 1 }
+        val tb = tokBytes(g + j)
+        System.arraycopy(tb, 0, buf, pos, tb.length)
+        pos += tb.length
+        j += 1
+      }
+      out(g) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, pos, 42L)
+      g += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** Uniform [0,1) from the top 52 bits of md5(bytes of s) — BIT-IDENTICAL to the
+    * engine-portable formula `conv(substring(md5(s), 1, 13), 16, 10)::DOUBLE / 2^52`
+    * (13 hex chars = digest bytes 0..5 plus the high nibble of byte 6; the 52-bit
+    * integer is exact in a double, and the final division is the same IEEE op).
+    * One digest + a handful of shifts per call, where the expression chain pays
+    * digest → hex-encode → substring → base-16 BigInt parse → decimal string →
+    * double parse (measured ~2 s per pass over the 1.5M-token sf0.1 explode).
+    */
+  def md5Frac52U8(s: UTF8String): Double = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    val top = ((d(0) & 0xffL) << 44) | ((d(1) & 0xffL) << 36) | ((d(2) & 0xffL) << 28) |
+      ((d(3) & 0xffL) << 20) | ((d(4) & 0xffL) << 12) | ((d(5) & 0xffL) << 4) |
+      ((d(6) & 0xffL) >>> 4)
+    top.toDouble / 4503599627370496.0 // 2^52
+  }
+
   /** Banded signed-random-projection sketch over a numeric vector, all bands in ONE
     * pass: band b's key bit i is the sign of Σ_d v_d · r(b·bits+i, d), with the
     * Rademacher sign r = parity of splitmix64((hyperplane << 32) ^ dim). A tight
@@ -191,6 +268,57 @@ case class SrpSketchBands(child: Expression, bits: Int, bands: Int) extends Unar
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Token n-gram hash array (see [[HashKernels.tokenNgramHashesU8]]). Input is the
+  * LOWERCASED text (Spark's `lower` stays outside so its collation semantics are
+  * untouched). NEVER null: a null text has no grams and yields the empty array,
+  * exactly like the `when(size(w) >= n, ...).otherwise(array())` chain it replaces.
+  */
+case class TokenNgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) HashKernels.emptyLongArray()
+    else HashKernels.tokenNgramHashesU8(v.asInstanceOf[UTF8String], n)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    val resultCode =
+      code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = ${childGen.isNull} ?
+          graft.functions.HashKernels.emptyLongArray() :
+          graft.functions.HashKernels.tokenNgramHashesU8(${childGen.value}, $n);
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Deterministic hash fraction (see [[HashKernels.md5Frac52U8]]): string → the
+  * md5-top-52-bit uniform in [0,1) every sampler keys on. Same value as the
+  * md5/conv/substring Catalyst chain it replaces, at one digest per row.
+  */
+case class Md5Fraction(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.md5Frac52U8(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.md5Frac52U8($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 abstract class StringLongExpression extends UnaryExpression {
   override def dataType: DataType = LongType
   protected def compute(s: String): Long
@@ -273,6 +401,14 @@ object hashfns {
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(c), k, numHashes))
   def rollingFingerprint(c: Column): Column =
     ColumnBridge.column(RollingFingerprint(ColumnBridge.expression(c)))
+  /** md5-top-52-bit uniform fraction of a STRING column (null → null). */
+  def md5Fraction(c: Column): Column =
+    ColumnBridge.column(Md5Fraction(ColumnBridge.expression(c)))
+  /** Token n-gram xxhash64 array of an already-lowercased text column (null →
+    * empty array, never null).
+    */
+  def tokenNgramHashes(lowered: Column, n: Int): Column =
+    ColumnBridge.column(TokenNgramHashes(ColumnBridge.expression(lowered), n))
   def srpSketchBands(c: Column, bits: Int, bands: Int): Column =
     ColumnBridge.column(SrpSketchBands(ColumnBridge.expression(c), bits, bands))
   /** True iff any element of the long-array column is in `hashes` (sorted-set

@@ -1023,4 +1023,38 @@ class DataOpsSpec extends SparkTestBase {
     val top = expected.toSeq.sortBy { case (id, k) => (-k, id) }.take(25).map(_._1).toSet
     assert(a.map(_._1).toSet == top)
   }
+
+  test("Md5Fraction kernel is bit-identical to the conv/substring/md5 formula (r7 swap)") {
+    import spark.implicits._
+    val d = Seq("", "a", "hello world", "Émile café 猫", "0", "UPPER lower",
+      "a" * 500, "\ttabs and\nnewlines\t", null.asInstanceOf[String])
+      .toDF("s")
+    val mism = d.select(
+        graft.data.Sampling.hashFraction(col("s")).as("k"),
+        (conv(substring(md5(col("s").cast("string")), 1, 13), 16, 10).cast("double") /
+          4503599627370496.0).as("o"))
+      .where(not(col("k") <=> col("o"))).count()
+    assert(mism == 0)
+  }
+
+  test("TokenNgramHashes kernel is bit-identical to the HOF gram-hash chain (r7 swap)") {
+    import graft.data.{Decontaminate, TextAnalysis}
+    import spark.implicits._
+    def oldChain(text: org.apache.spark.sql.Column, n: Int) = {
+      val w = TextAnalysis.wordTokens(text)
+      when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n),
+          i => xxhash64(concat_ws(" ", slice(w, i + lit(1), lit(n))))))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    val d = Seq(null.asInstanceOf[String], "", "one", "one two",
+      "  Émile café 猫 ABC-123 x  ", "a-b_c d..e", "a b c d e f g h i j",
+      "ПРИВЕТ мир 你好 123abc", "x").toDF("text")
+    for (n <- Seq(1, 2, 3, 8)) {
+      val mism = d.select(oldChain(col("text"), n).as("o"),
+          Decontaminate.tokenNgramHashes(col("text"), n).as("k"))
+        .where(not(col("o") <=> col("k"))).count()
+      assert(mism == 0, s"n=$n")
+    }
+  }
 }
