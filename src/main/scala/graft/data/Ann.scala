@@ -78,19 +78,17 @@ object Ann {
       val cRows = cRowsCapped.map(r =>
         (r.getLong(0), r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue())))
       if (cRows.length == 1) corpus.withColumn("centroid_id", lit(cRows.head._1))
-      else {
-        // max of (sim, -centroid_id) structs = best sim, ties to the SMALLEST id
-        val best = greatest(cRows.map { case (cid, vec) =>
-          struct(cosine(col(vecCol), typedlit(vec)).as("s"), lit(-cid).as("negc"))
-        }: _*)
-        corpus.withColumn("centroid_id", -best.getField("negc"))
-      }
+      else
+        // r7: one kernel call per row against a shared centroid bank instead of
+        // `greatest` over nCentroids inlined struct(cosine) expressions — the
+        // generated code is O(1) in nCentroids (the old tree grew linearly and
+        // dominated compile time at 128 centroids); winner selection reproduces
+        // the greatest-of-structs semantics bit-for-bit (max cosine, NaN
+        // largest, null cosines lose, ties → smallest id).
+        corpus.withColumn("centroid_id",
+          graft.functions.vecfns.argMaxCosine(col(vecCol),
+            cRows.map(_._1).toSeq, cRows.map(_._2).toSeq))
     }
-  }
-
-  private def typedlit(v: Seq[Double]): Column = {
-    import org.apache.spark.sql.functions.{typedLit => tl}
-    tl(v)
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,

@@ -239,10 +239,12 @@ object Dedup {
     // below, strictly on the (small) candidate set
     val sig = docs.select(col("id"),
       minhashSignature(col("text"), shingleSize, numHashes).as("__sig"))
+    // r7: one kernel call per row for all band keys — bit-identical to the
+    // per-band xxhash64(concat_ws(",", element_at..)) columns it replaces (the
+    // tree was bands × rows element_at/cast/concat nodes; see MinhashBandKeys)
     val banded = sig.select(col("id"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws(",", (0 until rows).map(r => element_at(col("__sig"), b * rows + r + 1)): _*))
-      }: _*)).as(Seq("band", "bucket")))
+      posexplode(hashfns.minhashBandKeys(col("__sig"), rows, bands))
+        .as(Seq("band", "bucket")))
     val l = banded.select(col("band"), col("bucket"), col("id").as("idA"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("idB"))
     val candidates = l.join(r, Seq("band", "bucket"))
@@ -275,15 +277,15 @@ object Dedup {
     require(64 % blocks == 0 && blocks > maxHamming,
       s"need 64 % blocks == 0 and blocks > maxHamming (got blocks=$blocks, maxHamming=$maxHamming)")
     val width = 64 / blocks
-    val mask = if (width == 64) -1L else (1L << width) - 1L
-    def blockVal(b: Int) = shiftright(col("sim"), b * width).bitwiseAND(lit(mask))
-    val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
+    val combos = (0 until blocks).combinations(blocks - maxHamming).map(_.toSeq).toSeq
     val sh = df.select(col(idCol).as("id"), hashfns.simhash64(col(textCol)).as("sim"))
     // one bucket key per block combination: chosen block values packed into a long
-    // ((blocks-maxHamming)·width = 64 − maxHamming·width bits — always fits)
+    // ((blocks-maxHamming)·width = 64 − maxHamming·width bits — always fits).
+    // r7: one kernel call per row for all combination keys — bit-identical to the
+    // per-combo shiftleft/bitwiseOR folds it replaces (C(8,5)=56 combos × 5-node
+    // folds in the blocks=8 configuration; see SimhashBucketKeys)
     val keyed = sh.select(col("id"), col("sim"),
-      posexplode(array(combos.map(c =>
-        c.map(blockVal).reduce((a, b) => shiftleft(a, width).bitwiseOR(b))): _*))
+      posexplode(hashfns.simhashBucketKeys(col("sim"), width, combos))
         .as(Seq("combo", "bucket")))
     val l = keyed.select(col("combo"), col("bucket"), col("id").as("idA"), col("sim").as("simA"))
     val r = keyed.select(col("combo"), col("bucket"), col("id").as("idB"), col("sim").as("simB"))

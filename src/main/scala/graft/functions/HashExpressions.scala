@@ -123,6 +123,62 @@ object HashKernels {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /** LSH band keys over a MinHash signature: band b's key is xxhash64 (seed 42) of
+    * the DECIMAL-ASCII comma-join of its `rows` signature slots — bit-identical to
+    * `xxhash64(concat_ws(",", element_at(sig, b·rows+1) .. element_at(sig, (b+1)·rows)))`
+    * (Spark casts the longs to their decimal string; Long.toString is pure ASCII,
+    * so the joined string's UTF-8 bytes are what both formulations hash). One
+    * buffer, no per-band string columns — the Catalyst tree was bands × rows
+    * element_at/concat/cast nodes (256 for the 64/32 default).
+    */
+  def minhashBandKeysU8(sig: org.apache.spark.sql.catalyst.util.ArrayData,
+      rows: Int, bands: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val buf = new Array[Byte](rows * 21) // worst case: 20 chars per long + comma
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var pos = 0
+      var r = 0
+      while (r < rows) {
+        if (r > 0) { buf(pos) = ','; pos += 1 }
+        val s = java.lang.Long.toString(sig.getLong(b * rows + r))
+        var i = 0
+        while (i < s.length) { buf(pos) = s.charAt(i).toByte; pos += 1; i += 1 }
+        r += 1
+      }
+      out(b) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, pos, 42L)
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** Pigeonhole bucket keys over a 64-bit simhash: for each block combination
+    * (the canonical `(0 until blocks).combinations(blocks - maxHamming)` order),
+    * the chosen block values packed left-to-right — bit-identical to the
+    * `c.map(blockVal).reduce((a, b) => shiftleft(a, width) | b)` fold of the
+    * Catalyst formulation it replaces.
+    */
+  def simhashBucketKeysU8(sim: Long, width: Int, combosFlat: Array[Int],
+      comboLen: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val nCombos = combosFlat.length / comboLen
+    val out = new Array[Long](nCombos)
+    var c = 0
+    while (c < nCombos) {
+      var key = 0L
+      var j = 0
+      while (j < comboLen) {
+        val blk = combosFlat(c * comboLen + j)
+        key = (key << width) | ((sim >>> (blk * width)) & mask)
+        j += 1
+      }
+      out(c) = key
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** Uniform [0,1) from the top 52 bits of md5(bytes of s) — BIT-IDENTICAL to the
     * engine-portable formula `conv(substring(md5(s), 1, 13), 16, 10)::DOUBLE / 2^52`
     * (13 hex chars = digest bytes 0..5 plus the high nibble of byte 6; the 52-bit
@@ -304,6 +360,53 @@ case class TokenNgramHashes(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** MinHash LSH band keys (see [[HashKernels.minhashBandKeysU8]]): array&lt;long&gt;
+  * signature → array&lt;long&gt; of `bands` keys. Null signature (null text) → null,
+  * which posexplode skips — the replaced per-band xxhash64(concat_ws(..)) columns
+  * gave every null-signature row the hash of "", i.e. shared buckets whose
+  * candidate pairs the exact-verify then dropped (null jaccard); no verified pair
+  * changes, the null docs just stop generating doomed candidates.
+  */
+case class MinhashBandKeys(child: Expression, rows: Int, bands: Int)
+    extends UnaryExpression {
+  require(rows >= 1 && bands >= 1)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.minhashBandKeysU8(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], rows, bands)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minhashBandKeysU8($c, $rows, $bands)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** SimHash pigeonhole bucket keys (see [[HashKernels.simhashBucketKeysU8]]):
+  * long simhash → array&lt;long&gt;, one key per block combination in the canonical
+  * combinations order. Null simhash (null text) → null; the replaced expression
+  * array emitted all-null keys instead, which the equi-join on the bucket could
+  * never match — no pair output changes.
+  */
+case class SimhashBucketKeys(child: Expression, width: Int, combos: Seq[Seq[Int]])
+    extends UnaryExpression {
+  require(combos.nonEmpty && combos.map(_.size).distinct.size == 1)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  @transient private lazy val flat: Array[Int] = combos.flatten.toArray
+  private val comboLen: Int = combos.head.size
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.simhashBucketKeysU8(v.asInstanceOf[Long], width, flat, comboLen)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("graftSimhashCombos", flat, "int[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.simhashBucketKeysU8($c, $width, $ref, $comboLen)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Deterministic hash fraction (see [[HashKernels.md5Frac52U8]]): string → the
   * md5-top-52-bit uniform in [0,1) every sampler keys on. Same value as the
   * md5/conv/substring Catalyst chain it replaces, at one digest per row.
@@ -409,6 +512,12 @@ object hashfns {
     */
   def tokenNgramHashes(lowered: Column, n: Int): Column =
     ColumnBridge.column(TokenNgramHashes(ColumnBridge.expression(lowered), n))
+  /** `bands` LSH band keys over a MinHash signature array (null sig → null). */
+  def minhashBandKeys(sig: Column, rows: Int, bands: Int): Column =
+    ColumnBridge.column(MinhashBandKeys(ColumnBridge.expression(sig), rows, bands))
+  /** Pigeonhole bucket keys over a 64-bit simhash (null → null). */
+  def simhashBucketKeys(sim: Column, width: Int, combos: Seq[Seq[Int]]): Column =
+    ColumnBridge.column(SimhashBucketKeys(ColumnBridge.expression(sim), width, combos))
   def srpSketchBands(c: Column, bits: Int, bands: Int): Column =
     ColumnBridge.column(SrpSketchBands(ColumnBridge.expression(c), bits, bands))
   /** True iff any element of the long-array column is in `hashes` (sorted-set

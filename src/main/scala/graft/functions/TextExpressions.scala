@@ -563,12 +563,27 @@ case class TrigramLogProb(child: Expression, model: TrigramLmModel)
   */
 object CharsetKernels {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, java.nio.charset.Charset]()
-  def resolve(name: String): java.nio.charset.Charset =
-    if (name == null || name.isEmpty) java.nio.charset.StandardCharsets.UTF_8
-    else cache.computeIfAbsent(name, n =>
-      try java.nio.charset.Charset.forName(n.trim)
+  // the names are attacker-controlled (per-row HTTP headers): normalize the key so
+  // case/whitespace variants of one charset share an entry, and BOUND the map —
+  // a shard with millions of distinct junk names must not grow executor memory
+  // without limit (r6 ADVICE). A flood simply drops the handful of real entries
+  // and re-resolves them; charset lookup is case-insensitive, so the lowercased
+  // key resolves identically.
+  private val MaxCacheEntries = 4096
+  def resolve(name: String): java.nio.charset.Charset = {
+    if (name == null) return java.nio.charset.StandardCharsets.UTF_8
+    val key = name.trim.toLowerCase(java.util.Locale.ROOT)
+    if (key.isEmpty) return java.nio.charset.StandardCharsets.UTF_8
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    val cs =
+      try java.nio.charset.Charset.forName(key)
       catch { case _: IllegalArgumentException | _: java.nio.charset.UnsupportedCharsetException =>
-        java.nio.charset.StandardCharsets.UTF_8 })
+        java.nio.charset.StandardCharsets.UTF_8 }
+    if (cache.size() >= MaxCacheEntries) cache.clear()
+    cache.put(key, cs)
+    cs
+  }
 
   /** Decode `bytes` under the named charset (empty/null/unknown → UTF-8). The String
     * constructor REPLACES malformed sequences with U+FFFD — deliberately unlike

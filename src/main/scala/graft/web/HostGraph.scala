@@ -83,19 +83,22 @@ object HostGraph {
         .select(col("src"), col("dst"), (col("w") / col("od")).as("p")), "src")
       .sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // nodes partitioned on host ONCE: every iteration's left join reuses this
-    // side's partitioning instead of re-exchanging it
+    // nodes partitioned on host ONCE — every iteration's left join reuses this
+    // side's partitioning instead of re-exchanging it — and carrying their
+    // dangling flag (no out-edges), so the per-iteration dangling-mass
+    // aggregate is a filter over the checkpointed rank frame instead of an
+    // anti-join against a second persisted table (r7: one fewer join per
+    // iteration; the flag is one boolean per node, static across iterations)
     val nodes = byKey(e.select(col("src").as("host"))
-      .union(e.select(col("dst").as("host"))).distinct(), "host")
+        .union(e.select(col("dst").as("host"))).distinct(), "host")
+      .join(outDeg.select(col("src").as("host"), lit(true).as("__has")), Seq("host"), "left")
+      .select(col("host"), col("__has").isNull.as("__dang"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count().toDouble
     if (n == 0) {
       trans.unpersist(); nodes.unpersist()
-      return nodes.withColumn("rank", lit(null).cast("double"))
+      return nodes.select(col("host")).withColumn("rank", lit(null).cast("double"))
     }
-    // nodes WITH out-edges; a rank row absent from this set is dangling
-    val srcNodes = outDeg.select(col("src").as("host"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Each iteration ends in an EAGER localCheckpoint: the successor references
     // the rank frame twice (dangling aggregate + contribution join), so without
@@ -103,11 +106,13 @@ object HostGraph {
     // (a K=8 run OOMs in plan stringification alone). The checkpoint both caps
     // the plan and materializes the N-row frame, so each iteration is one small
     // job over checkpointed state; the dangling mass rides inside it as a
-    // broadcast 1-row aggregate, never a driver collect.
-    var ranks = byKey(nodes.select(col("host"), rnd(lit(1.0 / n)).as("rank")), "host")
-      .localCheckpoint()
+    // broadcast 1-row aggregate, never a driver collect. The INITIAL rank frame
+    // needs no checkpoint of its own (r7: one fewer job): it is a constant-rank
+    // projection over the persisted `nodes`, so iteration 1's two references
+    // re-read the cache, not a lineage, and the plan depth is already capped.
+    var ranks = nodes.select(col("host"), rnd(lit(1.0 / n)).as("rank"), col("__dang"))
     for (_ <- 1 to iters) {
-      val dmF = ranks.join(srcNodes, Seq("host"), "left_anti")
+      val dmF = ranks.where(col("__dang"))
         .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
       val contrib = trans.join(ranks, trans("src") === ranks("host"))
         .groupBy(col("dst").as("host"))
@@ -117,7 +122,8 @@ object HostGraph {
         .crossJoin(broadcast(dmF))
         .select(col("host"),
           rnd(lit((1.0 - damping) / n) + lit(damping) * col("__dm") / lit(n)
-            + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank")), "host")
+            + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"),
+          col("__dang")), "host")
         .localCheckpoint()
       // `next` is materialized (eager checkpoint) — the superseded iteration's
       // blocks can go NOW. Dataset.unpersist can't free them (checkpoint RDDs
@@ -125,8 +131,8 @@ object HostGraph {
       release(ranks)
       ranks = next
     }
-    trans.unpersist(); nodes.unpersist(); srcNodes.unpersist()
-    ranks
+    trans.unpersist(); nodes.unpersist()
+    ranks.select(col("host"), col("rank"))
   }
 
   /** Free the checkpointed blocks behind a frame [[pageRank]] returned (a plain

@@ -105,9 +105,12 @@ object WebFeatures {
     filter(
       // `(?:[^>]*?\s)?href` — href must sit at an attribute boundary (start of the
       // attribute list or after whitespace), so data-href / xlink:href never match
-      // and can't shadow the real href later in the same tag
+      // and can't shadow the real href later in the same tag. The value closes on
+      // a BACKREFERENCE of the opening quote (r6 ADVICE): an apostrophe inside a
+      // double-quoted href (href="it's-a-page") is part of the value, not a
+      // terminator — the independent ["'] close class truncated such URLs.
       regexp_extract_all(graft.functions.textfns.decodeCharset(html, lit("")),
-        lit("(?is)<a\\s(?:[^>]*?\\s)?href\\s*=\\s*[\"']([^\"'#][^\"']*)[\"']"), lit(1)),
+        lit("(?is)<a\\s(?:[^>]*?\\s)?href\\s*=\\s*([\"'])((?!#)(?:(?!\\1).)+)\\1"), lit(2)),
       l => length(l) > 0)
 
   private def stripTags(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

@@ -1057,4 +1057,34 @@ class DataOpsSpec extends SparkTestBase {
       assert(mism == 0, s"n=$n")
     }
   }
+
+  test("band-key kernels are bit-identical to the expression folds (r7 swap)") {
+    import graft.functions.hashfns
+    import spark.implicits._
+    val d = (0L until 200L).map(i => (i, s"w${i % 31} w${i % 7} w${i % 13} tail$i"))
+      .toDF("id", "text")
+    // minhash: per-band xxhash64(concat_ws(",", element_at..)) vs the kernel
+    val (rows, bands) = (2, 32)
+    val sig = d.select(hashfns.minhashSignature(col("text"), 5, rows * bands).as("s"))
+    val mh = sig.select(
+        array((0 until bands).map { b =>
+          xxhash64(concat_ws(",", (0 until rows).map(r =>
+            element_at(col("s"), b * rows + r + 1)): _*))
+        }: _*).as("o"),
+        hashfns.minhashBandKeys(col("s"), rows, bands).as("k"))
+      .where(not(col("o") <=> col("k"))).count()
+    assert(mh == 0)
+    // simhash: per-combo shift/or fold vs the kernel (blocks=8, maxHamming=3)
+    val width = 8
+    val mask = (1L << width) - 1L
+    def blockVal(b: Int) = shiftright(col("sim"), b * width).bitwiseAND(lit(mask))
+    val combos = (0 until 8).combinations(5).map(_.toSeq).toSeq
+    val sh = d.select(hashfns.simhash64(col("text")).as("sim"))
+    val sm = sh.select(
+        array(combos.map(c =>
+          c.map(blockVal).reduce((a, b) => shiftleft(a, width).bitwiseOR(b))): _*).as("o"),
+        hashfns.simhashBucketKeys(col("sim"), width, combos).as("k"))
+      .where(not(col("o") <=> col("k"))).count()
+    assert(sm == 0)
+  }
 }

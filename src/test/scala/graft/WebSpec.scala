@@ -597,7 +597,9 @@ class WebSpec extends SparkTestBase {
       ("https://a.test/1",
         """<html><body><p>x</p><a href="https://B.test/page">b</a>
           |<A HREF='https://c.test/z?q=1'>c</A><a href="#frag">self</a>
-          |<a data-x="1" href="https://b.test/other">b2</a></body></html>""".stripMargin),
+          |<a data-x="1" href="https://b.test/other">b2</a>
+          |<a href="https://b.test/it's-a-page">apos</a>
+          |<a href='https://b.test/say-"hi"'>quot</a></body></html>""".stripMargin),
       ("https://b.test/1",
         """<a data-href="https://phantom.test/x" href="https://c.test/1">c</a>"""),
       ("https://c.test/1", """<div>no links</div>""")
@@ -611,6 +613,10 @@ class WebSpec extends SparkTestBase {
       ("https://a.test/1", "https://B.test/page"),
       ("https://a.test/1", "https://c.test/z?q=1"),
       ("https://a.test/1", "https://b.test/other"),
+      // the OTHER quote inside a value is part of it, not a terminator (the
+      // close quote is a backreference of the opener)
+      ("https://a.test/1", "https://b.test/it's-a-page"),
+      ("https://a.test/1", "https://b.test/say-\"hi\""),
       ("https://b.test/1", "https://c.test/1")), links.toString)
 
     // hostOf: lowercases, strips port/userinfo, keeps IPv6 brackets whole,
