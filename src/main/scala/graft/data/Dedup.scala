@@ -339,10 +339,15 @@ object Dedup {
     // a null id cannot identify a document: drop such edges up front so BOTH paths
     // agree (joins on null never match in the distributed rounds, and the local
     // union-find would otherwise unbox null to 0L and corrupt real id 0's cluster)
+    // partitioned on dst ONCE before the persist (the HostGraph transition-matrix
+    // rule, r7): every propagation round joins edges on dst, and an un-partitioned
+    // cache re-exchanged the EDGE table — the corpus-sized side — each round; now
+    // only the N-row label frame moves per round
     val edges = src0.select(col(idACol).as("src"), col(idBCol).as("dst"))
       .unionByName(src0.select(col(idBCol).as("src"), col(idACol).as("dst")))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val idType = pairs.schema(idACol).dataType
     val integral = idType == org.apache.spark.sql.types.LongType ||
