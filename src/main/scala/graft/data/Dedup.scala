@@ -163,13 +163,13 @@ object Dedup {
       .unionByName(docs.where(col(idCol).isNull))
   }
 
-  /** Distinct character shingles of length k, computed per-row with higher-order
-    * functions (no explode of the corpus).
+  /** Distinct character shingles of length k — one codegen'd kernel pass (r7:
+    * replaces the array_distinct(transform(sequence(substring…))) HOF chain;
+    * same grams in the same first-occurrence order, but a text shorter than k
+    * yields the EMPTY array instead of the HOF chain's `[null]` singleton —
+    * identical after the null filter every consumer applies).
     */
-  def shingles(text: Column, k: Int): Column =
-    array_distinct(transform(
-      sequence(lit(0), greatest(length(text) - k, lit(0)) - lit(0)),
-      i => when(length(text) >= k, substring(text, (i + 1).cast("int"), lit(k)))))
+  def shingles(text: Column, k: Int): Column = textfns.distinctShingles(text, k)
 
   /** MinHash signature: for each of `numHashes` seeds, the min over shingle hashes.
     * Single-pass native expression (see [[graft.functions.MinHashSignature]]).

@@ -129,6 +129,27 @@ object TextKernels {
     set
   }
 
+  /** Distinct code-point k-grams in FIRST-OCCURRENCE order — the same gram set
+    * (and order) `array_distinct(transform(sequence(...), substring(...)))`
+    * produces, in one pass with no per-gram Column machinery. Texts shorter
+    * than k yield an empty array (the HOF chain yielded `[null]`, which every
+    * consumer filtered — callers must keep filtering nothing, not nulls).
+    */
+  def distinctShinglesU8(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val cps = codePoints(s.toString)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + k <= cps.length) {
+      seen.add(new String(cps, i, k))
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def ngramJaccard(a: String, b: String, n: Int): Double = {
     val sa = ngramSet(a, n); val sb = ngramSet(b, n)
     if (sa.isEmpty && sb.isEmpty) return 1.0
@@ -315,6 +336,24 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.nfcU8($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Distinct code-point k-shingles of a text (see [[TextKernels.distinctShinglesU8]]).
+  * Null text → null; short text → empty array (the HOF chain's `[null]` singleton
+  * was filtered by every consumer — same exploded rows either way).
+  */
+case class DistinctShingles(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType,
+      containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.distinctShinglesU8(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.distinctShinglesU8($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class CharacterEntropy(child: Expression) extends UnaryExpression {
@@ -632,6 +671,8 @@ object textfns {
   def ngramJaccardSim(l: Column, r: Column, n: Int = 2): Column = col(NgramJaccardSimilarity(e(l), e(r), n))
   def charEntropy(c: Column): Column = col(CharacterEntropy(e(c)))
   def nfcNormalize(c: Column): Column = col(NfcNormalize(e(c)))
+  /** Distinct code-point k-shingles, first-occurrence order (null → null). */
+  def distinctShingles(c: Column, k: Int): Column = col(DistinctShingles(e(c), k))
   /** True iff the text contains any of `patterns` (one compiled-automaton pass). */
   def multiContains(text: Column, patterns: Seq[String]): Column =
     col(MultiContains(e(text), patterns))

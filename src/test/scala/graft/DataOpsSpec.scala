@@ -1058,6 +1058,27 @@ class DataOpsSpec extends SparkTestBase {
     }
   }
 
+  test("DistinctShingles kernel matches the HOF chain modulo the filtered null (r7 swap)") {
+    import spark.implicits._
+    def oldChain(text: org.apache.spark.sql.Column, k: Int) =
+      array_distinct(transform(
+        sequence(lit(0), greatest(length(text) - k, lit(0)) - lit(0)),
+        i => when(length(text) >= k, substring(text, (i + 1).cast("int"), lit(k)))))
+    val d = Seq(null.asInstanceOf[String], "", "abc", "abcd", "ababab",
+      "Émile café 猫猫猫 x", "aaaaa", "ab\ncd ef").toDF("t")
+    for (k <- Seq(1, 2, 5)) {
+      // consumers filter null grams: compare after dropping them on the old side
+      // consumers explode + drop null grams: the old chain's [null] (short text)
+      // and [] -after-filter (null text) both explode to nothing, like the
+      // kernel's empty/null results — compare after that normalization
+      val mism = d.select(col("t"),
+          filter(oldChain(col("t"), k), g => g.isNotNull).as("o"),
+          coalesce(graft.data.Dedup.shingles(col("t"), k), array()).as("n"))
+        .where(not(col("o") <=> col("n"))).collect()
+      assert(mism.isEmpty, s"k=$k: ${mism.mkString("; ")}")
+    }
+  }
+
   test("band-key kernels are bit-identical to the expression folds (r7 swap)") {
     import graft.functions.hashfns
     import spark.implicits._
